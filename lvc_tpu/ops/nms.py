@@ -1,0 +1,133 @@
+"""Fixed-shape non-maximum suppression for TPU.
+
+Replaces the reference's CUDA/torchvision NMS surface
+(detectron2/layers/nms.py:10-29 `batched_nms` with the class-offset trick).
+On TPU there is no dynamic-shape kernel: we return a *keep mask* over a
+padded box set instead of a variable-length index list. Selection of the
+top-k kept boxes is a separate masked top-k.
+
+Algorithm: sort by score, then tiled greedy suppression — within each tile
+of 128 boxes a fixpoint iteration resolves suppression chains (usually 2-4
+rounds instead of 128 sequential steps), then one vectorized (T, N) IoU pass
+suppresses all later boxes. This matches exact greedy NMS semantics
+(including the reference's strict ``iou > threshold`` comparison).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lvc_tpu.structures import boxes as box_ops
+
+NEG_INF = -1e10
+
+
+def _pad_to_multiple(n: int, t: int) -> int:
+    return ((n + t - 1) // t) * t
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    tile: int = 128,
+) -> jnp.ndarray:
+    """Greedy NMS over a padded box set.
+
+    Args:
+        boxes: (N, 4) XYXY.
+        scores: (N,).
+        valid: (N,) bool; padding rows must be False.
+        iou_threshold: suppress boxes with IoU *strictly greater* than this
+            against a surviving higher-scored box (torchvision semantics).
+    Returns:
+        (N,) bool keep mask in the ORIGINAL input order.
+    """
+    n = boxes.shape[0]
+    n_pad = _pad_to_multiple(max(n, tile), tile)
+    if n_pad != n:
+        boxes = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
+        scores = jnp.pad(scores, (0, n_pad - n), constant_values=NEG_INF)
+        valid = jnp.pad(valid, (0, n_pad - n))
+
+    sort_scores = jnp.where(valid, scores, NEG_INF)
+    # Stable descending sort: ties break toward the lower original index,
+    # matching torch.sort(descending=True) stability.
+    order = jnp.argsort(-sort_scores, stable=True)
+    b = boxes[order]
+    v = valid[order]
+
+    num_tiles = n_pad // tile
+    col_idx = jnp.arange(n_pad)
+    tri = jnp.tril(jnp.ones((tile, tile), dtype=bool), k=-1)  # j suppressed by i<j rows
+
+    def outer(i, active):
+        start = i * tile
+        tile_boxes = jax.lax.dynamic_slice(b, (start, 0), (tile, 4))
+        act_tile = jax.lax.dynamic_slice(active, (start,), (tile,))
+        iou_tt = box_ops.pairwise_iou(tile_boxes, tile_boxes)
+        sup_tt = (iou_tt > iou_threshold) & tri.T  # sup_tt[i, j]: row i can suppress col j (i < j)
+
+        # Fixpoint: a box is suppressed iff some earlier SURVIVING box
+        # overlaps it. Chains converge in a few rounds.
+        def cond(state):
+            prev, cur = state
+            return jnp.any(prev != cur)
+
+        def body(state):
+            _, cur = state
+            suppressed = jnp.any(sup_tt & cur[:, None], axis=0)
+            return cur, act_tile & ~suppressed
+
+        first = act_tile & ~jnp.any(sup_tt & act_tile[:, None], axis=0)
+        _, act_tile_new = jax.lax.while_loop(cond, body, (act_tile, first))
+
+        active = jax.lax.dynamic_update_slice(active, act_tile_new, (start,))
+        # Vectorized suppression of all strictly-later boxes.
+        iou_tn = box_ops.pairwise_iou(tile_boxes, b)
+        sup_cols = jnp.any((iou_tn > iou_threshold) & act_tile_new[:, None], axis=0)
+        later = col_idx >= (start + tile)
+        return active & ~(sup_cols & later)
+
+    active = jax.lax.fori_loop(0, num_tiles, outer, v)
+
+    keep_sorted = active
+    keep = jnp.zeros((n_pad,), dtype=bool).at[order].set(keep_sorted)
+    return keep[:n]
+
+
+def batched_nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Class-aware NMS via the coordinate-offset trick
+    (torchvision `batched_nms`, wrapped at detectron2/layers/nms.py:10).
+
+    Args:
+        idxs: (N,) integer category ids — boxes of different ids never
+            suppress each other.
+    """
+    # Offset must exceed the coordinate range; use max over valid boxes.
+    max_coord = jnp.max(jnp.where(valid[:, None], boxes, 0.0)) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = boxes + offsets[:, None]
+    return nms_mask(shifted, scores, valid, iou_threshold)
+
+
+def masked_topk(
+    scores: jnp.ndarray, valid: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices of the top-k valid entries by score (stable on ties) and a
+    bool mask of which of the k slots are real. Fixed output size k."""
+    neg = jnp.where(valid, scores, NEG_INF)
+    k = min(k, scores.shape[0])
+    order = jnp.argsort(-neg, stable=True)[:k]
+    topk_valid = valid[order]
+    return order, topk_valid

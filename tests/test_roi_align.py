@@ -1,0 +1,159 @@
+"""RoIAlign parity vs a direct numpy port of the reference CPU kernel
+semantics (ROIAlign_cpu.cpp) written independently here as the test oracle."""
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from lvc_tpu.ops.roi_align import (
+    multilevel_roi_align,
+    assign_boxes_to_levels,
+)
+
+
+def roi_align_reference(feat_hwc, box, spatial_scale, pooled, sampling_ratio, aligned=True):
+    H, W, C = feat_hwc.shape
+    offset = 0.5 if aligned else 0.0
+    x0 = box[0] * spatial_scale - offset
+    y0 = box[1] * spatial_scale - offset
+    x1 = box[2] * spatial_scale - offset
+    y1 = box[3] * spatial_scale - offset
+    roi_w = x1 - x0
+    roi_h = y1 - y0
+    if not aligned:
+        roi_w = max(roi_w, 1.0)
+        roi_h = max(roi_h, 1.0)
+    bin_h = roi_h / pooled
+    bin_w = roi_w / pooled
+    gh = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_h / pooled))
+    gw = sampling_ratio if sampling_ratio > 0 else int(math.ceil(roi_w / pooled))
+    count = max(gh * gw, 1)
+    out = np.zeros((pooled, pooled, C), np.float32)
+
+    def bilinear(y, x):
+        if y < -1.0 or y > H or x < -1.0 or x > W:
+            return np.zeros(C, np.float32)
+        y = max(y, 0.0)
+        x = max(x, 0.0)
+        y_low = int(y)
+        x_low = int(x)
+        if y_low >= H - 1:
+            y_high = y_low = H - 1
+            y = float(y_low)
+        else:
+            y_high = y_low + 1
+        if x_low >= W - 1:
+            x_high = x_low = W - 1
+            x = float(x_low)
+        else:
+            x_high = x_low + 1
+        ly, lx = y - y_low, x - x_low
+        hy, hx = 1 - ly, 1 - lx
+        return (
+            hy * hx * feat_hwc[y_low, x_low]
+            + hy * lx * feat_hwc[y_low, x_high]
+            + ly * hx * feat_hwc[y_high, x_low]
+            + ly * lx * feat_hwc[y_high, x_high]
+        )
+
+    for ph in range(pooled):
+        for pw in range(pooled):
+            acc = np.zeros(C, np.float32)
+            for iy in range(max(gh, 1)):
+                yy = y0 + ph * bin_h + (iy + 0.5) * bin_h / max(gh, 1)
+                for ix in range(max(gw, 1)):
+                    xx = x0 + pw * bin_w + (ix + 0.5) * bin_w / max(gw, 1)
+                    acc += bilinear(yy, xx)
+            out[ph, pw] = acc / count
+    return out
+
+
+def test_single_level_fixed_sampling():
+    rng = np.random.RandomState(0)
+    feat = rng.rand(16, 24, 5).astype(np.float32)
+    boxes = np.array(
+        [
+            [4.0, 4.0, 60.0, 40.0],
+            [0.0, 0.0, 95.0, 63.0],
+            [10.5, 7.25, 30.0, 20.0],
+        ],
+        np.float32,
+    )
+    got = np.asarray(
+        multilevel_roi_align([jnp.asarray(feat)], jnp.asarray(boxes), (4,), output_size=7, sampling_ratio=2)
+    )
+    for i, b in enumerate(boxes):
+        ref = roi_align_reference(feat, b, 0.25, 7, 2)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_single_level_adaptive_sampling():
+    rng = np.random.RandomState(1)
+    feat = rng.rand(32, 32, 3).astype(np.float32)
+    # boxes sized so ceil(bin) is 1, 2, 3 respectively at scale 1
+    boxes = np.array(
+        [
+            [2.0, 2.0, 8.0, 8.0],       # bin ~0.86 -> grid 1
+            [1.0, 1.0, 12.0, 12.0],     # bin ~1.6 -> grid 2
+            [0.0, 0.0, 20.0, 15.0],     # grid 3 x 3 (w), 3 (h: 15/7->3)
+        ],
+        np.float32,
+    )
+    got = np.asarray(
+        multilevel_roi_align([jnp.asarray(feat)], jnp.asarray(boxes), (1,), output_size=7, sampling_ratio=0)
+    )
+    for i, b in enumerate(boxes):
+        ref = roi_align_reference(feat, b, 1.0, 7, 0)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_bounds_samples_zero():
+    feat = np.ones((8, 8, 1), np.float32)
+    # box hanging off the left/top: some samples < -1 contribute zeros
+    boxes = np.array([[-16.0, -16.0, 16.0, 16.0]], np.float32)
+    got = np.asarray(
+        multilevel_roi_align([jnp.asarray(feat)], jnp.asarray(boxes), (1,), output_size=4, sampling_ratio=2)
+    )
+    ref = roi_align_reference(feat, boxes[0], 1.0, 4, 2)
+    np.testing.assert_allclose(got[0], ref, rtol=1e-5)
+
+
+def test_level_assignment():
+    # canonical: 224-sized box -> level 4; FPN p2..p5 => min_level 2, max 5
+    boxes = jnp.asarray(
+        np.array(
+            [
+                [0, 0, 224, 224],   # -> level 4
+                [0, 0, 112, 112],   # -> level 3
+                [0, 0, 448, 448],   # -> level 5
+                [0, 0, 20, 20],     # tiny -> clamp to 2
+                [0, 0, 4000, 4000], # huge -> clamp to 5
+            ],
+            np.float32,
+        )
+    )
+    lv = np.asarray(assign_boxes_to_levels(boxes, 2, 5, 224, 4))
+    assert lv.tolist() == [2, 1, 3, 0, 3]
+
+
+def test_multilevel_matches_single_level_choice():
+    rng = np.random.RandomState(3)
+    feats = [rng.rand(32, 32, 4).astype(np.float32), rng.rand(16, 16, 4).astype(np.float32)]
+    strides = (4, 8)
+    boxes = np.array(
+        [
+            [0.0, 0.0, 60.0, 50.0],    # sqrt(3000)=54 -> level 2 (first)
+            [0.0, 0.0, 120.0, 110.0],  # sqrt(13200)=115 -> level 3 (second)
+        ],
+        np.float32,
+    )
+    got = np.asarray(
+        multilevel_roi_align(
+            [jnp.asarray(f) for f in feats], jnp.asarray(boxes), strides,
+            output_size=7, sampling_ratio=2, min_level=2,
+        )
+    )
+    ref0 = roi_align_reference(feats[0], boxes[0], 1 / 4, 7, 2)
+    ref1 = roi_align_reference(feats[1], boxes[1], 1 / 8, 7, 2)
+    np.testing.assert_allclose(got[0], ref0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[1], ref1, rtol=1e-4, atol=1e-5)
