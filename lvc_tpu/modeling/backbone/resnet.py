@@ -1,0 +1,204 @@
+"""ResNet backbone (flax, NHWC, bf16-friendly).
+
+Behavioral counterpart of detectron2/modeling/backbone/resnet.py
+(BasicStem:564, BottleneckBlock:101, ResNet:648, build_resnet_backbone:846):
+same topology, stride placement (STRIDE_IN_1X1), FrozenBN default, stage
+freezing — but written TPU-first: NHWC layout for the MXU, no in-place
+mutation, freezing expressed as optimizer masks (see solver.build) instead
+of requires_grad flips.
+
+Module/param naming intentionally mirrors the reference checkpoint layout
+(stem.conv1, res{2..5}.{i}.conv{1..3}, shortcut) so weight conversion is a
+mechanical rename (see lvc_tpu/checkpoint/convert.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lvc_tpu.modeling.layers import Conv2d, max_pool_torch
+
+
+class BasicStem(nn.Module):
+    out_channels: int = 64
+    norm: str = "FrozenBN"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = Conv2d(
+            self.out_channels,
+            kernel_size=7,
+            stride=2,
+            padding=3,
+            use_bias=False,
+            norm=self.norm,
+            activation=nn.relu,
+            name="conv1",
+        )(x)
+        x = max_pool_torch(x, kernel=3, stride=2, padding=1)
+        return x
+
+
+class BottleneckBlock(nn.Module):
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    has_shortcut: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        stride_1x1, stride_3x3 = (
+            (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        )
+        out = Conv2d(
+            self.bottleneck_channels,
+            kernel_size=1,
+            stride=stride_1x1,
+            use_bias=False,
+            norm=self.norm,
+            activation=nn.relu,
+            name="conv1",
+        )(x)
+        out = Conv2d(
+            self.bottleneck_channels,
+            kernel_size=3,
+            stride=stride_3x3,
+            padding=self.dilation,
+            dilation=self.dilation,
+            groups=self.num_groups,
+            use_bias=False,
+            norm=self.norm,
+            activation=nn.relu,
+            name="conv2",
+        )(out)
+        out = Conv2d(
+            self.out_channels,
+            kernel_size=1,
+            use_bias=False,
+            norm=self.norm,
+            name="conv3",
+        )(out)
+        if self.has_shortcut:
+            shortcut = Conv2d(
+                self.out_channels,
+                kernel_size=1,
+                stride=self.stride,
+                use_bias=False,
+                norm=self.norm,
+                name="shortcut",
+            )(x)
+        else:
+            shortcut = x
+        out = nn.relu(out + shortcut)
+        if self.dropout > 0:
+            # BottleneckBlockDropout (resnet.py:214) — dropout after the add
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class ResNet(nn.Module):
+    """Returns a dict of stage outputs {"res2": ..., ..., "res5": ...}
+    restricted to ``out_features``."""
+
+    depth: int = 50
+    num_groups: int = 1
+    width_per_group: int = 64
+    stem_out_channels: int = 64
+    res2_out_channels: int = 256
+    stride_in_1x1: bool = True
+    res5_dilation: int = 1
+    norm: str = "FrozenBN"
+    out_features: Sequence[str] = ("res4",)
+    dropout: float = 0.0
+
+    @staticmethod
+    def stage_blocks(depth: int) -> List[int]:
+        return {
+            18: [2, 2, 2, 2],
+            34: [3, 4, 6, 3],
+            50: [3, 4, 6, 3],
+            101: [3, 4, 23, 3],
+            152: [3, 8, 36, 3],
+        }[depth]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Dict[str, jnp.ndarray]:
+        assert self.depth in (50, 101, 152), "only bottleneck ResNets supported"
+        blocks_per_stage = self.stage_blocks(self.depth)
+        x = BasicStem(self.stem_out_channels, norm=self.norm, name="stem")(x)
+
+        out: Dict[str, jnp.ndarray] = {}
+        if "stem" in self.out_features:
+            out["stem"] = x
+
+        out_channels = self.res2_out_channels
+        bottleneck_channels = self.num_groups * self.width_per_group
+        in_channels = self.stem_out_channels
+
+        max_stage = max(
+            [int(f[len("res") :]) for f in self.out_features if f.startswith("res")],
+            default=5,
+        )
+        for idx, stage_idx in enumerate(range(2, 6)):
+            if stage_idx > max_stage:
+                break
+            dilation = self.res5_dilation if stage_idx == 5 else 1
+            first_stride = 1 if idx == 0 or (stage_idx == 5 and dilation == 2) else 2
+            stage_name = f"res{stage_idx}"
+            for b in range(blocks_per_stage[idx]):
+                x = BottleneckBlock(
+                    out_channels=out_channels,
+                    bottleneck_channels=bottleneck_channels,
+                    stride=first_stride if b == 0 else 1,
+                    num_groups=self.num_groups,
+                    norm=self.norm,
+                    stride_in_1x1=self.stride_in_1x1,
+                    dilation=dilation,
+                    has_shortcut=(b == 0),
+                    dropout=self.dropout,
+                    name=f"{stage_name}.{b}",
+                )(x, train=train)
+            if stage_name in self.out_features:
+                out[stage_name] = x
+            in_channels = out_channels
+            out_channels *= 2
+            bottleneck_channels *= 2
+        return out
+
+
+# stage name -> (stride, channels) for a standard ResNet-50/101
+RESNET_STAGE_STRIDES = {"stem": 4, "res2": 4, "res3": 8, "res4": 16, "res5": 32}
+
+
+def resnet_out_channels(depth: int, res2_out: int = 256) -> Dict[str, int]:
+    return {
+        "res2": res2_out,
+        "res3": res2_out * 2,
+        "res4": res2_out * 4,
+        "res5": res2_out * 8,
+    }
+
+
+def build_resnet(cfg) -> ResNet:
+    """Config-driven constructor mirroring build_resnet_backbone
+    (resnet.py:846)."""
+    return ResNet(
+        depth=cfg.MODEL.RESNETS.DEPTH,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        res5_dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        norm=cfg.MODEL.RESNETS.NORM,
+        out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
+        dropout=cfg.MODEL.RESNETS.DROPOUT,
+        name="bottom_up",
+    )

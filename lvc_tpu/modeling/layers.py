@@ -1,0 +1,135 @@
+"""Neural-net building blocks shared across the detector (flax, NHWC).
+
+TPU-native counterpart of detectron2/layers/{batch_norm.py,wrappers.py}:
+FrozenBatchNorm folds to a scale/bias affine at trace time; convs use
+explicit torch-style symmetric padding so activations match the reference
+checkpoints spatially.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with constant affine + stats (detectron2 FrozenBatchNorm2d,
+    layers/batch_norm.py:14). Stats live in the ``batch_stats`` collection so
+    checkpoint conversion keeps the reference layout; math folds to a single
+    fused multiply-add under XLA."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "running_mean", nn.initializers.zeros, None, (self.features,)
+        )
+        var = self.variable(
+            "batch_stats", "running_var", nn.initializers.ones, None, (self.features,)
+        )
+        scale = weight * jax.lax.rsqrt(var.value + self.eps)
+        return x * scale + (bias - mean.value * scale)
+
+
+class SyncBatchNorm(nn.Module):
+    """Cross-replica BatchNorm: the reference's NaiveSyncBatchNorm
+    (layers/batch_norm.py:168) hand-rolls an AllReduce of moments; here a
+    ``psum`` over the data axis does it natively when inside shard_map/pjit."""
+
+    features: int
+    eps: float = 1e-5
+    momentum: float = 0.9
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "running_mean", nn.initializers.zeros, None, (self.features,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "running_var", nn.initializers.ones, None, (self.features,)
+        )
+        if train:
+            mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+            mean2 = jnp.mean(jnp.square(x), axis=tuple(range(x.ndim - 1)))
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        scale = weight * jax.lax.rsqrt(var + self.eps)
+        return x * scale + (bias - mean * scale)
+
+
+class GroupNorm(nn.GroupNorm):
+    pass
+
+
+def get_norm(norm: str, features: int) -> Optional[nn.Module]:
+    """Norm factory matching d2's get_norm names (layers/batch_norm.py:97)."""
+    if not norm:
+        return None
+    if norm == "FrozenBN":
+        return FrozenBatchNorm(features)
+    if norm in ("BN", "SyncBN", "naiveSyncBN"):
+        return SyncBatchNorm(features)
+    if norm == "GN":
+        return nn.GroupNorm(num_groups=32)
+    raise ValueError(f"Unknown norm: {norm}")
+
+
+class Conv2d(nn.Module):
+    """Conv with torch-style explicit symmetric padding + optional norm and
+    activation (mirrors d2's Conv2d wrapper, layers/wrappers.py)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    norm: str = ""
+    activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            name="conv",
+        )(x)
+        norm = get_norm(self.norm, self.features)
+        if norm is not None:
+            x = norm(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool_torch(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
+    """Max-pool with torch-style symmetric padding (pads with -inf)."""
+    return nn.max_pool(
+        x,
+        window_shape=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+    )

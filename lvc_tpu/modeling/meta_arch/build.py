@@ -1,0 +1,117 @@
+"""Model construction from config.
+
+Counterpart of lvc/modeling/meta_arch/build.py:3-17 (META_ARCH_REGISTRY +
+build_model). Here build_model returns an (un-initialized) flax Module;
+params come from module.init or a converted checkpoint.
+"""
+from __future__ import annotations
+
+from lvc_tpu.modeling.backbone.fpn import build_resnet_fpn_backbone, fpn_strides
+from lvc_tpu.modeling.backbone.resnet import build_resnet
+from lvc_tpu.modeling.meta_arch.rcnn import GeneralizedRCNN, ProposalNetwork
+from lvc_tpu.modeling.proposal_generator.rpn import RPN
+from lvc_tpu.modeling.roi_heads.roi_heads import StandardROIHeads
+from lvc_tpu.utils.registry import Registry
+
+META_ARCH_REGISTRY = Registry("META_ARCH")
+
+
+def build_backbone(cfg):
+    name = cfg.MODEL.BACKBONE.NAME
+    if name == "build_resnet_fpn_backbone":
+        return build_resnet_fpn_backbone(cfg), fpn_strides(cfg.MODEL.FPN.IN_FEATURES)
+    if name == "build_resnet_backbone":
+        from lvc_tpu.modeling.backbone.resnet import RESNET_STAGE_STRIDES
+
+        return build_resnet(cfg), dict(RESNET_STAGE_STRIDES)
+    raise ValueError(f"Unknown backbone: {name}")
+
+
+def build_rpn(cfg, strides):
+    return RPN(
+        in_features=tuple(cfg.MODEL.RPN.IN_FEATURES),
+        strides=strides,
+        anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
+        anchor_aspect_ratios=tuple(tuple(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS),
+        anchor_offset=cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        iou_thresholds=tuple(cfg.MODEL.RPN.IOU_THRESHOLDS),
+        iou_labels=tuple(cfg.MODEL.RPN.IOU_LABELS),
+        batch_size_per_image=cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE,
+        positive_fraction=cfg.MODEL.RPN.POSITIVE_FRACTION,
+        bbox_reg_weights=tuple(cfg.MODEL.RPN.BBOX_REG_WEIGHTS),
+        smooth_l1_beta=cfg.MODEL.RPN.SMOOTH_L1_BETA,
+        loss_weight=cfg.MODEL.RPN.LOSS_WEIGHT,
+        pre_nms_topk_train=cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN,
+        pre_nms_topk_test=cfg.MODEL.RPN.PRE_NMS_TOPK_TEST,
+        post_nms_topk_train=cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN,
+        post_nms_topk_test=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
+        nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
+        min_box_size=float(cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE),
+        name="proposal_generator",
+    )
+
+
+def build_roi_heads(cfg, strides):
+    name = cfg.MODEL.ROI_HEADS.NAME
+    if name not in ("StandardROIHeads",):
+        raise NotImplementedError(f"ROI heads '{name}' not yet built")
+    return StandardROIHeads(
+        in_features=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
+        strides=strides,
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        iou_thresholds=tuple(cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS),
+        iou_labels=tuple(cfg.MODEL.ROI_HEADS.IOU_LABELS),
+        batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+        positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+        proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
+        pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
+        pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        num_conv=cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
+        conv_dim=cfg.MODEL.ROI_BOX_HEAD.CONV_DIM,
+        num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,
+        fc_dim=cfg.MODEL.ROI_BOX_HEAD.FC_DIM,
+        head_norm=cfg.MODEL.ROI_BOX_HEAD.NORM,
+        dropout=cfg.MODEL.ROI_BOX_HEAD.DROPOUT,
+        output_layer=cfg.MODEL.ROI_HEADS.OUTPUT_LAYER,
+        cosine_scale=cfg.MODEL.ROI_HEADS.COSINE_SCALE,
+        cls_agnostic_bbox_reg=cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG,
+        bbox_reg_weights=tuple(cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_WEIGHTS),
+        smooth_l1_beta=cfg.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA,
+        box_reg_loss_type=cfg.MODEL.ROI_BOX_HEAD.BBOX_REG_LOSS_TYPE,
+        reg_off=cfg.MODEL.ROI_HEADS.REG_OFF,
+        score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
+        nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        name="roi_heads",
+    )
+
+
+@META_ARCH_REGISTRY.register(name="GeneralizedRCNN")
+def _build_generalized_rcnn(cfg):
+    backbone, strides = build_backbone(cfg)
+    rpn = build_rpn(cfg, strides)
+    roi_heads = build_roi_heads(cfg, strides)
+    return GeneralizedRCNN(
+        backbone=backbone,
+        proposal_generator=rpn,
+        roi_heads=roi_heads,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="ProposalNetwork")
+def _build_proposal_network(cfg):
+    backbone, strides = build_backbone(cfg)
+    rpn = build_rpn(cfg, strides)
+    return ProposalNetwork(
+        backbone=backbone,
+        proposal_generator=rpn,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+def build_model(cfg):
+    """cfg -> flax Module (lvc build.py:12-17 analogue)."""
+    return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)

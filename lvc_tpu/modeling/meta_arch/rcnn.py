@@ -1,0 +1,107 @@
+"""Generalized R-CNN meta-architectures (flax).
+
+Behavioral counterpart of lvc/modeling/meta_arch/rcnn.py
+(GeneralizedRCNN:25, GeneralizedRCNNRegOnly:336, ProposalNetwork:413).
+The model consumes a fixed-shape padded batch dict and returns loss dicts
+(train) or padded Detections (inference); host-side post-processing
+(rescaling to original image sizes) lives in the evaluator.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lvc_tpu.modeling.backbone.fpn import FPN, fpn_strides
+from lvc_tpu.modeling.backbone.resnet import ResNet
+from lvc_tpu.modeling.proposal_generator.rpn import RPN
+from lvc_tpu.modeling.roi_heads.roi_heads import StandardROIHeads
+
+
+class GeneralizedRCNN(nn.Module):
+    """backbone -> RPN -> ROI heads.
+
+    Batch dict contract (all padded, fixed shapes):
+        image:        (B, H, W, 3) float32 raw pixels in cfg INPUT.FORMAT order
+        image_size:   (B, 2) int32 true (h, w) inside the padded canvas
+        gt_boxes:     (B, G, 4) float32 XYXY       (train)
+        gt_classes:   (B, G) int32                  (train)
+        gt_valid:     (B, G) bool                   (train)
+        gt_ignores:   (B, G) bool (optional)        (train)
+        proposal_boxes/proposal_logits/proposal_valid: precomputed proposals
+            (when the proposal generator is 'PrecomputedProposals' / RBG)
+    """
+
+    backbone: nn.Module
+    proposal_generator: Optional[nn.Module]
+    roi_heads: nn.Module
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, images.dtype)
+        std = jnp.asarray(self.pixel_std, images.dtype)
+        return (images - mean) / std
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+        images = self.preprocess(batch["image"])
+        features = self.backbone(images, train=train)
+        image_sizes = batch["image_size"]
+
+        gt_boxes = batch.get("gt_boxes")
+        gt_valid = batch.get("gt_valid")
+
+        if self.proposal_generator is not None:
+            proposals, objectness, prop_valid, rpn_losses = self.proposal_generator(
+                features, image_sizes, gt_boxes, gt_valid, train=train
+            )
+        else:
+            proposals = batch["proposal_boxes"]
+            objectness = batch["proposal_logits"]
+            prop_valid = batch["proposal_valid"]
+            rpn_losses = {}
+
+        gt = None
+        if train:
+            gt = {
+                "boxes": batch["gt_boxes"],
+                "classes": batch["gt_classes"],
+                "valid": batch["gt_valid"],
+            }
+            if "gt_ignores" in batch:
+                gt["ignores"] = batch["gt_ignores"]
+
+        out, aux = self.roi_heads(
+            features, proposals, prop_valid, image_sizes, gt, train=train
+        )
+        if train:
+            losses = dict(out)
+            losses.update(rpn_losses)
+            return losses
+        return out
+
+
+class ProposalNetwork(nn.Module):
+    """RPN-only model for proposal extraction (rcnn.py:413-479)."""
+
+    backbone: nn.Module
+    proposal_generator: nn.Module
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+        mean = jnp.asarray(self.pixel_mean, batch["image"].dtype)
+        std = jnp.asarray(self.pixel_std, batch["image"].dtype)
+        images = (batch["image"] - mean) / std
+        features = self.backbone(images, train=train)
+        proposals, objectness, valid, losses = self.proposal_generator(
+            features,
+            batch["image_size"],
+            batch.get("gt_boxes"),
+            batch.get("gt_valid"),
+            train=train,
+        )
+        if train:
+            return losses
+        return {"proposal_boxes": proposals, "objectness_logits": objectness, "proposal_valid": valid}

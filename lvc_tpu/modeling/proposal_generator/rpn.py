@@ -1,0 +1,215 @@
+"""Region Proposal Network (flax, fixed-shape).
+
+Behavioral counterpart of detectron2/modeling/proposal_generator/rpn.py
+(StandardRPNHead:68, RPN:143) and proposal_utils.py (find_top_rpn_proposals).
+TPU-first: anchor labeling/sampling is vmapped over the batch with PRNG
+keys, proposal selection returns static (B, post_nms_topk) padded arrays,
+and per-level NMS runs as a vmap over levels instead of a class-offset pass.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lvc_tpu.modeling.anchors import AnchorGenerator
+from lvc_tpu.modeling.box_regression import Box2BoxTransform
+from lvc_tpu.modeling.matcher import Matcher
+from lvc_tpu.modeling.sampling import subsample_labels
+from lvc_tpu.ops.nms import nms_mask, masked_topk, NEG_INF
+from lvc_tpu.structures import boxes as box_ops
+
+
+class StandardRPNHead(nn.Module):
+    """3x3 conv + 1x1 objectness / 1x1 deltas (rpn.py:68-142)."""
+
+    num_anchors: int
+    conv_dim: int = 256
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray]):
+        init = nn.initializers.normal(0.01)  # d2 rpn.py:106-109
+        conv = nn.Conv(
+            self.conv_dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init, name="conv"
+        )
+        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="objectness_logits")
+        deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, name="anchor_deltas")
+        logits, regs = [], []
+        for x in features:
+            t = nn.relu(conv(x))
+            logits.append(obj(t))
+            regs.append(deltas(t))
+        return logits, regs
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """fvcore smooth_l1_loss semantics: pure L1 when beta == 0."""
+    diff = jnp.abs(pred - target)
+    if beta <= 1e-8:
+        return diff
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+class RPN(nn.Module):
+    """Returns (proposals, objectness, valid, losses)."""
+
+    in_features: Sequence[str]
+    strides: Dict[str, int]
+    anchor_sizes: Sequence[Sequence[float]]
+    anchor_aspect_ratios: Sequence[Sequence[float]]
+    anchor_offset: float = 0.0
+    head_conv_dim: int = 256
+    # matching / sampling
+    iou_thresholds: Sequence[float] = (0.3, 0.7)
+    iou_labels: Sequence[int] = (0, -1, 1)
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    # losses
+    bbox_reg_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+    smooth_l1_beta: float = 0.0
+    loss_weight: float = 1.0
+    # proposal selection
+    pre_nms_topk_train: int = 2000
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_train: int = 1000
+    post_nms_topk_test: int = 1000
+    nms_thresh: float = 0.7
+    min_box_size: float = 0.0
+
+    def setup(self):
+        self.anchor_generator = AnchorGenerator(
+            sizes=self.anchor_sizes,
+            aspect_ratios=self.anchor_aspect_ratios,
+            strides=[self.strides[f] for f in self.in_features],
+            offset=self.anchor_offset,
+        )
+        num_anchors = self.anchor_generator.num_anchors
+        assert len(set(num_anchors)) == 1, "all levels must have equal #anchors"
+        self.head = StandardRPNHead(num_anchors[0], self.head_conv_dim, name="rpn_head")
+        self.box2box = Box2BoxTransform(self.bbox_reg_weights)
+        self.matcher = Matcher(
+            list(self.iou_thresholds), list(self.iou_labels), allow_low_quality_matches=True
+        )
+
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        image_sizes: jnp.ndarray,  # (B, 2) true (h, w)
+        gt_boxes: Optional[jnp.ndarray] = None,  # (B, G, 4)
+        gt_valid: Optional[jnp.ndarray] = None,  # (B, G)
+        *,
+        train: bool = False,
+    ):
+        feats = [features[f] for f in self.in_features]
+        logits_lvl, deltas_lvl = self.head(feats)
+        grid_sizes = [f.shape[1:3] for f in feats]
+        anchors_lvl = self.anchor_generator.grid_anchors(grid_sizes)  # [(HWA, 4)]
+
+        B = feats[0].shape[0]
+        A = self.anchor_generator.num_anchors[0]
+        # NHWC conv outputs reshape directly to the reference's (H*W*A) order.
+        logits_flat = [l.reshape(B, -1) for l in logits_lvl]
+        deltas_flat = [d.reshape(B, -1, 4) for d in deltas_lvl]
+
+        losses = {}
+        if train and gt_boxes is not None:
+            losses = self.losses(
+                anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid
+            )
+
+        proposals, objectness, valid = self.predict_proposals(
+            anchors_lvl, logits_flat, deltas_flat, image_sizes, train
+        )
+        return proposals, objectness, valid, losses
+
+    # ------------------------------------------------------------------ loss
+    def losses(self, anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid):
+        anchors = jnp.concatenate(anchors_lvl, axis=0)  # (R, 4)
+        logits = jnp.concatenate(logits_flat, axis=1)  # (B, R)
+        deltas = jnp.concatenate(deltas_flat, axis=1)  # (B, R, 4)
+        B = logits.shape[0]
+
+        rng = self.make_rng("sampling")
+        keys = jax.random.split(rng, B)
+
+        def label_one(key, gt_b, gt_v):
+            iou = box_ops.pairwise_iou(gt_b, anchors)  # (G, R)
+            matched_idx, match_labels = self.matcher(iou, gt_v)
+            idxs, is_pos, slot_valid = subsample_labels(
+                key, match_labels, self.batch_size_per_image, self.positive_fraction
+            )
+            # labels over all anchors: -1 except sampled. Unfilled slots carry
+            # clipped duplicate indices; scatter-max keeps real samples intact.
+            slot_value = jnp.where(slot_valid, jnp.where(is_pos, 1, 0), -1).astype(jnp.int32)
+            labels = jnp.full(anchors.shape[:1], -1, jnp.int32)
+            labels = labels.at[idxs].max(slot_value)
+            matched_gt = gt_b[matched_idx]  # (R, 4)
+            return labels, matched_gt
+
+        labels, matched_gt = jax.vmap(label_one)(keys, gt_boxes, gt_valid)
+
+        pos_mask = labels == 1
+        valid_mask = labels >= 0
+        gt_deltas = self.box2box.get_deltas(
+            jnp.broadcast_to(anchors, deltas.shape), matched_gt
+        )
+        loc = smooth_l1(deltas, gt_deltas, self.smooth_l1_beta).sum(-1)
+        localization_loss = jnp.sum(jnp.where(pos_mask, loc, 0.0))
+
+        # BCE with logits over sampled anchors (rpn.py:390-397)
+        lab_f = (labels == 1).astype(jnp.float32)
+        bce = jnp.maximum(logits, 0) - logits * lab_f + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        objectness_loss = jnp.sum(jnp.where(valid_mask, bce, 0.0))
+
+        normalizer = self.batch_size_per_image * B
+        return {
+            "loss_rpn_cls": objectness_loss / normalizer * self.loss_weight,
+            "loss_rpn_loc": localization_loss / normalizer * self.loss_weight,
+        }
+
+    # ------------------------------------------------------------- proposals
+    def predict_proposals(self, anchors_lvl, logits_flat, deltas_flat, image_sizes, train):
+        pre_k = self.pre_nms_topk_train if train else self.pre_nms_topk_test
+        post_k = self.post_nms_topk_train if train else self.post_nms_topk_test
+
+        def per_image(logits_img, deltas_img, size):
+            # per-level top-k pre-NMS (proposal_utils.py:57-77)
+            lvl_boxes, lvl_scores, lvl_valid = [], [], []
+            k_max = min(pre_k, max(l.shape[0] for l in logits_img))
+            for anchors, logit, delta in zip(anchors_lvl, logits_img, deltas_img):
+                k = min(pre_k, logit.shape[0])
+                scores_k, order = jax.lax.top_k(logit, k)
+                boxes = self.box2box.apply_deltas(delta[order], anchors[order])
+                # clip to image (proposal_utils.py:103)
+                boxes = box_ops.clip(boxes, size[0].astype(boxes.dtype), size[1].astype(boxes.dtype))
+                scores = scores_k
+                valid = box_ops.nonempty(boxes, self.min_box_size)
+                valid &= jnp.isfinite(scores)
+                # pad level to k_max so levels stack uniformly
+                pad = k_max - k
+                if pad > 0:
+                    boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+                    scores = jnp.pad(scores, (0, pad), constant_values=NEG_INF)
+                    valid = jnp.pad(valid, (0, pad))
+                lvl_boxes.append(boxes)
+                lvl_scores.append(scores)
+                lvl_valid.append(valid)
+
+            boxes = jnp.stack(lvl_boxes)  # (L, K, 4)
+            scores = jnp.stack(lvl_scores)
+            valid = jnp.stack(lvl_valid)
+            # per-level NMS == batched NMS with level ids (proposal_utils.py:107)
+            keep = jax.vmap(lambda b, s, v: nms_mask(b, s, v, self.nms_thresh))(
+                boxes, scores, valid
+            )
+            boxes = boxes.reshape(-1, 4)
+            scores = scores.reshape(-1)
+            keep = (keep & valid).reshape(-1)
+            # choose post_nms_topk by score among kept (proposal_utils.py:120)
+            order, topk_valid = masked_topk(scores, keep, post_k)
+            return boxes[order], scores[order], topk_valid
+
+        return jax.vmap(per_image)(logits_flat, deltas_flat, image_sizes)

@@ -1,0 +1,246 @@
+"""ROI heads (flax, fixed-shape).
+
+Behavioral counterpart of lvc/modeling/roi_heads/roi_heads.py
+(ROIHeads:90, StandardROIHeads:483, label_and_sample_proposals:173-245 incl.
+the gt_ignores -> label -1 toggle). All per-image variable-length logic is
+replaced by padded slots + masks, vmapped over the batch.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from lvc_tpu.modeling.box_regression import Box2BoxTransform
+from lvc_tpu.modeling.matcher import Matcher
+from lvc_tpu.modeling.sampling import subsample_labels
+from lvc_tpu.modeling.roi_heads.box_head import FastRCNNConvFCHead
+from lvc_tpu.modeling.roi_heads.fast_rcnn import (
+    CosineSimOutputLayers,
+    Detections,
+    FastRCNNOutputLayers,
+    fast_rcnn_inference,
+    fast_rcnn_losses,
+)
+from lvc_tpu.ops.roi_align import multilevel_roi_align
+from lvc_tpu.structures import boxes as box_ops
+
+# objectness logit assigned to gt boxes appended to proposals
+# (d2 proposal_utils.add_ground_truth_to_proposals: log((1-eps)/eps), eps=1e-10)
+GT_PROPOSAL_LOGIT = math.log((1.0 - 1e-10) / 1e-10)
+
+
+class SampledProposals(NamedTuple):
+    boxes: jnp.ndarray  # (B, S, 4)
+    gt_boxes: jnp.ndarray  # (B, S, 4) matched gt (garbage for bg rows)
+    gt_classes: jnp.ndarray  # (B, S) in [0, K] (K = bg); -1 = ignore
+    valid: jnp.ndarray  # (B, S)
+
+
+class StandardROIHeads(nn.Module):
+    """Pooler -> conv/fc head -> output layer, with train-time sampling."""
+
+    in_features: Sequence[str]
+    strides: Dict[str, int]
+    num_classes: int = 80
+    # matching / sampling
+    iou_thresholds: Sequence[float] = (0.5,)
+    iou_labels: Sequence[int] = (0, 1)
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    proposal_append_gt: bool = True
+    # pooler
+    pooler_resolution: int = 7
+    pooler_sampling_ratio: int = 0
+    canonical_box_size: int = 224
+    canonical_level: int = 4
+    # head
+    num_conv: int = 0
+    conv_dim: int = 256
+    num_fc: int = 2
+    fc_dim: int = 1024
+    head_norm: str = ""
+    dropout: float = 0.0
+    # output layer
+    output_layer: str = "FastRCNNOutputLayers"
+    cosine_scale: float = 20.0
+    cls_agnostic_bbox_reg: bool = False
+    bbox_reg_weights: Sequence[float] = (10.0, 10.0, 5.0, 5.0)
+    smooth_l1_beta: float = 0.0
+    box_reg_loss_type: str = "smooth_l1"
+    reg_off: bool = False
+    # test
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    pre_nms_candidates: int = 2048
+
+    def setup(self):
+        self.box_head = FastRCNNConvFCHead(
+            num_conv=self.num_conv,
+            conv_dim=self.conv_dim,
+            num_fc=self.num_fc,
+            fc_dim=self.fc_dim,
+            norm=self.head_norm,
+            dropout=self.dropout,
+        )
+        if self.output_layer == "CosineSimOutputLayers":
+            self.box_predictor = CosineSimOutputLayers(
+                num_classes=self.num_classes,
+                scale=self.cosine_scale,
+                cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            )
+        else:
+            self.box_predictor = FastRCNNOutputLayers(
+                num_classes=self.num_classes,
+                cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            )
+        self.box2box = Box2BoxTransform(self.bbox_reg_weights)
+        self.proposal_matcher = Matcher(
+            list(self.iou_thresholds), list(self.iou_labels), allow_low_quality_matches=False
+        )
+
+    # ------------------------------------------------------------- sampling
+    def label_and_sample_proposals(
+        self,
+        rng: jax.Array,
+        proposals: jnp.ndarray,  # (B, P, 4)
+        proposal_valid: jnp.ndarray,  # (B, P)
+        gt_boxes: jnp.ndarray,  # (B, G, 4)
+        gt_classes: jnp.ndarray,  # (B, G)
+        gt_valid: jnp.ndarray,  # (B, G)
+        gt_ignores: Optional[jnp.ndarray] = None,  # (B, G) bool
+    ) -> SampledProposals:
+        B = proposals.shape[0]
+        if self.proposal_append_gt:
+            proposals = jnp.concatenate([proposals, gt_boxes], axis=1)
+            proposal_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
+        if gt_ignores is None:
+            gt_ignores = jnp.zeros(gt_valid.shape, bool)
+
+        keys = jax.random.split(rng, B)
+        pos_threshold = self.iou_thresholds[0]
+
+        def per_image(key, props, pvalid, gtb, gtc, gtv, gti):
+            # ignore-gt rows never act as real matches
+            real_gt = gtv & ~gti
+            iou = box_ops.pairwise_iou(gtb, props)
+            matched_idx, matched_labels = self.proposal_matcher(iou, real_gt)
+            # gt_ignores toggle (roi_heads.py:222-228): a proposal overlapping
+            # an ignore region above the fg threshold is excluded entirely.
+            ig_rows = gtv & gti
+            max_ig = jnp.max(jnp.where(ig_rows[:, None], iou, 0.0), axis=0)
+            matched_labels = jnp.where(
+                max_ig > pos_threshold, jnp.int8(-1), matched_labels
+            )
+            # invalid proposal slots are never sampled
+            matched_labels = jnp.where(pvalid, matched_labels, jnp.int8(-1))
+
+            # per-proposal class label: fg -> gt class, bg -> K, ignore -> -1
+            cls = jnp.where(
+                matched_labels == 1,
+                gtc[matched_idx],
+                jnp.where(matched_labels == 0, self.num_classes, -1),
+            )
+            sample_label = jnp.where(
+                matched_labels == 1, 1, jnp.where(matched_labels == 0, 0, -1)
+            )
+            idxs, is_pos, slot_valid = subsample_labels(
+                key, sample_label, self.batch_size_per_image, self.positive_fraction
+            )
+            return SampledProposals(
+                boxes=props[idxs],
+                gt_boxes=gtb[matched_idx[idxs]],
+                gt_classes=jnp.where(slot_valid, cls[idxs], -1).astype(jnp.int32),
+                valid=slot_valid,
+            )
+
+        return jax.vmap(per_image)(
+            keys, proposals, proposal_valid, gt_boxes, gt_classes, gt_valid, gt_ignores
+        )
+
+    # --------------------------------------------------------------- pooling
+    def pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
+        """features: per-level (B, H, W, C); boxes (B, R, 4) ->
+        (B, R, P, P, C)."""
+        feats = [features[f] for f in self.in_features]
+        strides = tuple(self.strides[f] for f in self.in_features)
+        fn = lambda fs, bx: multilevel_roi_align(
+            fs,
+            bx,
+            strides,
+            output_size=self.pooler_resolution,
+            sampling_ratio=self.pooler_sampling_ratio,
+            min_level=int(math.log2(strides[0])),
+            canonical_box_size=self.canonical_box_size,
+            canonical_level=self.canonical_level,
+        )
+        return jax.vmap(fn)(feats, boxes)
+
+    # --------------------------------------------------------------- forward
+    def __call__(
+        self,
+        features: Dict[str, jnp.ndarray],
+        proposals: jnp.ndarray,  # (B, P, 4)
+        proposal_valid: jnp.ndarray,  # (B, P)
+        image_sizes: jnp.ndarray,  # (B, 2)
+        gt: Optional[Dict[str, jnp.ndarray]] = None,
+        *,
+        train: bool = False,
+    ):
+        if train:
+            assert gt is not None
+            rng = self.make_rng("sampling")
+            sampled = self.label_and_sample_proposals(
+                rng,
+                proposals,
+                proposal_valid,
+                gt["boxes"],
+                gt["classes"],
+                gt["valid"],
+                gt.get("ignores"),
+            )
+            B, S = sampled.gt_classes.shape
+            pooled = self.pool(features, sampled.boxes)  # (B, S, P, P, C)
+            x = pooled.reshape(B * S, *pooled.shape[2:])
+            x = self.box_head(x, train=True)
+            scores, deltas = self.box_predictor(x)
+            if self.reg_off:
+                # REG_OFF zeroing (roi_heads.py:597): regression branch off
+                deltas = deltas * 0.0
+            losses = fast_rcnn_losses(
+                scores,
+                deltas,
+                sampled.boxes.reshape(B * S, 4),
+                sampled.gt_boxes.reshape(B * S, 4),
+                sampled.gt_classes.reshape(B * S),
+                sampled.valid.reshape(B * S),
+                self.box2box,
+                self.smooth_l1_beta,
+                self.box_reg_loss_type,
+            )
+            return losses, sampled
+        else:
+            B, P = proposals.shape[:2]
+            pooled = self.pool(features, proposals)
+            x = pooled.reshape(B * P, *pooled.shape[2:])
+            x = self.box_head(x, train=False)
+            scores, deltas = self.box_predictor(x)
+            probs = jax.nn.softmax(scores, axis=-1).reshape(B, P, -1)
+            boxes = self.box2box.apply_deltas(
+                deltas.reshape(B, P, -1), proposals
+            )  # (B, P, K*4)
+            dets = fast_rcnn_inference(
+                boxes,
+                probs,
+                image_sizes,
+                proposal_valid,
+                self.score_thresh_test,
+                self.nms_thresh_test,
+                self.detections_per_image,
+                self.pre_nms_candidates,
+            )
+            return dets, None
