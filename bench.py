@@ -1,0 +1,67 @@
+"""Benchmark: detector inference throughput (images/sec/chip).
+
+Flagship config: Faster R-CNN R-101-FPN at the reference eval resolution
+(short side 800, canvas 832x1344), matching BASELINE.md's speed target.
+Prints ONE JSON line. ``vs_baseline`` is the ratio against the reference's
+published number — none exists (BASELINE.md: "publishes no benchmark
+numbers"), so it reports the ratio vs our own first recorded TPU number to
+track regression/improvement across rounds (1.0 = first recording).
+"""
+import json
+import time
+
+import numpy as np
+
+# our own running baseline (images/sec/chip on TPU v5e-1), updated when the
+# kernel stack improves; established in round 1.
+REFERENCE_IMAGES_PER_SEC = 17.0
+
+BATCH = 8
+HEIGHT, WIDTH = 832, 1344
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as g
+    from lvc_tpu.modeling.meta_arch.build import build_model
+
+    cfg = g._small_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 101
+    model = build_model(cfg)
+    batch = g._make_batch(B=BATCH, H=HEIGHT, W=WIDTH)
+    variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    @jax.jit
+    def infer(batch):
+        return model.apply(variables, batch, train=False)
+
+    out = infer(batch)
+    jax.block_until_ready(out)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(infer(batch))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    imgs_per_sec = BATCH * ITERS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "r101_fpn_inference_images_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "img/s/chip",
+                "vs_baseline": round(imgs_per_sec / REFERENCE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ from lvc_tpu.modeling.roi_heads.fast_rcnn import (
     fast_rcnn_inference,
     fast_rcnn_losses,
 )
-from lvc_tpu.ops.roi_align import multilevel_roi_align
+from lvc_tpu.ops.roi_align import batched_multilevel_roi_align
 from lvc_tpu.structures import boxes as box_ops
 
 # objectness logit assigned to gt boxes appended to proposals
@@ -168,9 +168,9 @@ class StandardROIHeads(nn.Module):
         (B, R, P, P, C)."""
         feats = [features[f] for f in self.in_features]
         strides = tuple(self.strides[f] for f in self.in_features)
-        fn = lambda fs, bx: multilevel_roi_align(
-            fs,
-            bx,
+        return batched_multilevel_roi_align(
+            feats,
+            boxes,
             strides,
             output_size=self.pooler_resolution,
             sampling_ratio=self.pooler_sampling_ratio,
@@ -178,7 +178,6 @@ class StandardROIHeads(nn.Module):
             canonical_box_size=self.canonical_box_size,
             canonical_level=self.canonical_level,
         )
-        return jax.vmap(fn)(feats, boxes)
 
     # --------------------------------------------------------------- forward
     def __call__(

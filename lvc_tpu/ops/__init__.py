@@ -1,2 +1,6 @@
 from lvc_tpu.ops.nms import nms_mask, batched_nms_mask, masked_topk  # noqa: F401
-from lvc_tpu.ops.roi_align import multilevel_roi_align, assign_boxes_to_levels  # noqa: F401
+from lvc_tpu.ops.roi_align import (  # noqa: F401
+    assign_boxes_to_levels,
+    batched_multilevel_roi_align,
+    multilevel_roi_align,
+)

@@ -136,6 +136,34 @@ def test_level_assignment():
     assert lv.tolist() == [2, 1, 3, 0, 3]
 
 
+def test_batched_matches_single_image():
+    from lvc_tpu.ops.roi_align import batched_multilevel_roi_align
+
+    rng = np.random.RandomState(7)
+    B = 3
+    feats = [
+        rng.rand(B, 16, 16, 4).astype(np.float32),
+        rng.rand(B, 8, 8, 4).astype(np.float32),
+    ]
+    strides = (4, 8)
+    boxes = rng.rand(B, 5, 4).astype(np.float32) * 30
+    boxes[..., 2:] += boxes[..., :2] + 4
+    got = np.asarray(
+        batched_multilevel_roi_align(
+            [jnp.asarray(f) for f in feats], jnp.asarray(boxes), strides,
+            output_size=7, sampling_ratio=0, max_grid=2, min_level=2, chunk=4,
+        )
+    )
+    for b in range(B):
+        ref = np.asarray(
+            multilevel_roi_align(
+                [jnp.asarray(f[b]) for f in feats], jnp.asarray(boxes[b]), strides,
+                output_size=7, sampling_ratio=0, max_grid=2, min_level=2,
+            )
+        )
+        np.testing.assert_allclose(got[b], ref, rtol=1e-5, atol=1e-6)
+
+
 def test_multilevel_matches_single_level_choice():
     rng = np.random.RandomState(3)
     feats = [rng.rand(32, 32, 4).astype(np.float32), rng.rand(16, 16, 4).astype(np.float32)]
