@@ -322,7 +322,7 @@ _C.PAD.MAX_PROPOSALS_TRAIN = 2048   # proposals fed into roi heads (train)
 _C.PAD.MAX_PROPOSALS_TEST = 1024
 # image canvas buckets (h, w); the mapper picks the smallest fitting one so
 # jit sees a handful of static shapes instead of one per image
-_C.PAD.CANVAS_BUCKETS = [[704, 1344], [1344, 704], [1024, 1024], [1344, 1344]]
+_C.PAD.CANVAS_BUCKETS = [[832, 1344], [1344, 832], [1344, 1344]]
 
 # ---------------------------------------------------------------------------
 # Misc
