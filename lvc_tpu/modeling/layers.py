@@ -103,10 +103,14 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     norm: str = ""
     activation: Optional[Callable] = None
+    kernel_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.padding
+        kwargs = {}
+        if self.kernel_init is not None:
+            kwargs["kernel_init"] = self.kernel_init
         x = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -116,6 +120,7 @@ class Conv2d(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             name="conv",
+            **kwargs,
         )(x)
         norm = get_norm(self.norm, self.features)
         if norm is not None:

@@ -31,12 +31,12 @@ class StandardRPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray]):
+        from lvc_tpu.modeling.layers import Conv2d
+
         init = nn.initializers.normal(0.01)  # d2 rpn.py:106-109
-        conv = nn.Conv(
-            self.conv_dim, (3, 3), padding=((1, 1), (1, 1)), kernel_init=init, name="conv"
-        )
-        obj = nn.Conv(self.num_anchors, (1, 1), kernel_init=init, name="objectness_logits")
-        deltas = nn.Conv(self.num_anchors * 4, (1, 1), kernel_init=init, name="anchor_deltas")
+        conv = Conv2d(self.conv_dim, 3, padding=1, kernel_init=init, name="conv")
+        obj = Conv2d(self.num_anchors, 1, kernel_init=init, name="objectness_logits")
+        deltas = Conv2d(self.num_anchors * 4, 1, kernel_init=init, name="anchor_deltas")
         logits, regs = [], []
         for x in features:
             t = nn.relu(conv(x))
