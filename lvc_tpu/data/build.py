@@ -182,12 +182,13 @@ class EvalLoader:
     is padded by repeating the last example; metadata marks padding."""
 
     def __init__(self, dataset_dicts, mapper: DatasetMapper, batch_size: int = 1, num_workers: int = 4,
-                 rank: int = 0, world_size: int = 1):
+                 rank: int = 0, world_size: int = 1, with_gt: bool = False):
         self.dataset_dicts = dataset_dicts
         self.mapper = mapper
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.sampler = InferenceSampler(len(dataset_dicts), rank, world_size)
+        self.with_gt = with_gt
 
     def __len__(self):
         return len(self.sampler)
@@ -218,6 +219,9 @@ class EvalLoader:
                 "image_id": e["image_id"],
                 "orig_size": e["orig_size"],
                 "image_size": e["image_size"],
+                "gt_ids": e["gt_ids"],
+                "gt_scores": e["gt_scores"],
+                "gt_boxes_orig": e["gt_boxes_orig"],
                 "padding": False,
             }
             for e in exs
@@ -226,7 +230,7 @@ class EvalLoader:
             n_pad = self.batch_size - len(exs)
             exs = exs + [exs[-1]] * n_pad
             metas = metas + [dict(metas[-1], padding=True) for _ in range(n_pad)]
-        return collate(exs, train=False), metas
+        return collate(exs, train=False, with_gt=self.with_gt), metas
 
 
 def build_detection_train_loader(cfg, mapper: Optional[DatasetMapper] = None,
@@ -242,12 +246,14 @@ def build_detection_train_loader(cfg, mapper: Optional[DatasetMapper] = None,
 
 
 def build_detection_test_loader(cfg, dataset_name: str, mapper: Optional[DatasetMapper] = None,
-                                batch_size: int = 1, rank: int = 0, world_size: int = 1) -> EvalLoader:
+                                batch_size: int = 1, rank: int = 0, world_size: int = 1,
+                                with_gt: bool = False) -> EvalLoader:
     dataset_dicts = get_detection_dataset_dicts([dataset_name], filter_empty=False)
     if mapper is None:
-        mapper = DatasetMapper(cfg, is_train=False)
+        mapper = DatasetMapper(cfg, is_train=False, keep_ignore=with_gt)
     return EvalLoader(
-        dataset_dicts, mapper, batch_size, cfg.DATALOADER.NUM_WORKERS, rank, world_size
+        dataset_dicts, mapper, batch_size, cfg.DATALOADER.NUM_WORKERS, rank, world_size,
+        with_gt=with_gt,
     )
 
 

@@ -97,6 +97,7 @@ class DatasetMapper:
         boxes, classes, ignores, ids, scores = self.parse_annotations(
             d.get("annotations", []), self.keep_ignore
         )
+        boxes_orig = boxes.copy()
 
         if self.is_train:
             if self.crop_enabled and len(boxes):
@@ -131,6 +132,8 @@ class DatasetMapper:
             boxes, classes, ignores, ids, scores = (
                 boxes[keep], classes[keep], ignores[keep], ids[keep], scores[keep]
             )
+            if len(boxes_orig) == len(keep):
+                boxes_orig = boxes_orig[keep]
 
         G = self.max_gt
         n = min(len(boxes), G)
@@ -140,7 +143,10 @@ class DatasetMapper:
         gt_ignores = np.zeros((G,), bool)
         gt_ids = np.full((G,), -1, np.int64)
         gt_scores = np.zeros((G,), np.float32)
+        gt_boxes_orig = np.zeros((G, 4), np.float32)
         gt_boxes[:n] = boxes[:n]
+        if len(boxes_orig) >= n:
+            gt_boxes_orig[:n] = boxes_orig[:n]
         gt_classes[:n] = classes[:n]
         gt_valid[:n] = True
         gt_ignores[:n] = ignores[:n]
@@ -156,6 +162,7 @@ class DatasetMapper:
             "gt_ignores": gt_ignores,
             "gt_ids": gt_ids,
             "gt_scores": gt_scores,
+            "gt_boxes_orig": gt_boxes_orig,
             # host-side metadata (not fed to the model)
             "image_id": d.get("image_id", -1),
             "orig_size": np.array([orig_h, orig_w], np.int32),
@@ -173,9 +180,16 @@ MODEL_KEYS = (
 )
 
 
-def collate(examples: List[Dict[str, np.ndarray]], train: bool = True) -> Dict[str, np.ndarray]:
-    """Stack same-canvas examples into the model batch contract."""
+def collate(
+    examples: List[Dict[str, np.ndarray]], train: bool = True, with_gt: bool = False
+) -> Dict[str, np.ndarray]:
+    """Stack same-canvas examples into the model batch contract.
+    ``with_gt`` includes the gt fields in eval batches (box-correction
+    inference consumes candidates through the gt slots)."""
     assert len({e["canvas"] for e in examples}) == 1, "mixed canvas buckets in batch"
-    keys = MODEL_KEYS if train else ("image", "image_size")
+    if train or with_gt:
+        keys = MODEL_KEYS
+    else:
+        keys = ("image", "image_size")
     batch = {k: np.stack([e[k] for e in examples]) for k in keys}
     return batch

@@ -53,9 +53,37 @@ def build_rpn(cfg, strides):
 
 def build_roi_heads(cfg, strides):
     name = cfg.MODEL.ROI_HEADS.NAME
+    common = _roi_heads_kwargs(cfg, strides)
+    if name == "CascadeROIHeads":
+        from lvc_tpu.modeling.roi_heads.cascade_rcnn import CascadeROIHeads
+
+        return CascadeROIHeads(
+            cascade_ious=tuple(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS),
+            cascade_bbox_reg_weights=tuple(
+                tuple(w) for w in cfg.MODEL.ROI_BOX_CASCADE_HEAD.BBOX_REG_WEIGHTS
+            )[: len(cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS)],
+            ubbr_lambda=cfg.MODEL.UBBR.LAMBDA,
+            **common,
+        )
+    if name == "CascadeUBBRROIHeads":
+        from lvc_tpu.modeling.roi_heads.cascade_rcnn import CascadeUBBRROIHeads
+
+        return CascadeUBBRROIHeads(
+            cascade_steps=cfg.MODEL.UBBR.CASCADE_STEPS,
+            ubbr_lambda=cfg.MODEL.UBBR.LAMBDA,
+            **common,
+        )
+    if name == "UBBRROIHeads":
+        from lvc_tpu.modeling.roi_heads.cascade_rcnn import UBBRROIHeads
+
+        return UBBRROIHeads(**common)
     if name not in ("StandardROIHeads",):
         raise NotImplementedError(f"ROI heads '{name}' not yet built")
-    return StandardROIHeads(
+    return StandardROIHeads(**common)
+
+
+def _roi_heads_kwargs(cfg, strides):
+    return dict(
         in_features=tuple(cfg.MODEL.ROI_HEADS.IN_FEATURES),
         strides=strides,
         num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
@@ -86,14 +114,50 @@ def build_roi_heads(cfg, strides):
     )
 
 
+def build_proposal_generator(cfg, strides):
+    name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
+    if name == "RPN":
+        return build_rpn(cfg, strides)
+    if name == "RBG":
+        from lvc_tpu.modeling.proposal_generator.rbg import RBG
+
+        return RBG(
+            alpha=cfg.MODEL.RBG.ALPHA,
+            beta=cfg.MODEL.RBG.BETA,
+            t=cfg.MODEL.RBG.T,
+            batch_size_per_image=cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE,
+            positive_fraction=cfg.MODEL.ROI_HEADS.POSITIVE_FRACTION,
+            name="proposal_generator",
+        )
+    if name == "PrecomputedProposals":
+        return None
+    raise ValueError(f"Unknown proposal generator: {name}")
+
+
 @META_ARCH_REGISTRY.register(name="GeneralizedRCNN")
 def _build_generalized_rcnn(cfg):
     backbone, strides = build_backbone(cfg)
-    rpn = build_rpn(cfg, strides)
+    rpn = build_proposal_generator(cfg, strides)
     roi_heads = build_roi_heads(cfg, strides)
     return GeneralizedRCNN(
         backbone=backbone,
         proposal_generator=rpn,
+        roi_heads=roi_heads,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="GeneralizedRCNNRegOnly")
+def _build_generalized_rcnn_reg_only(cfg):
+    from lvc_tpu.modeling.meta_arch.rcnn import GeneralizedRCNNRegOnly
+
+    backbone, strides = build_backbone(cfg)
+    pg = build_proposal_generator(cfg, strides)
+    roi_heads = build_roi_heads(cfg, strides)
+    return GeneralizedRCNNRegOnly(
+        backbone=backbone,
+        proposal_generator=pg,
         roi_heads=roi_heads,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),

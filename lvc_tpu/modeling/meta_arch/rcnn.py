@@ -53,8 +53,15 @@ class GeneralizedRCNN(nn.Module):
         gt_valid = batch.get("gt_valid")
 
         if self.proposal_generator is not None:
+            pg_kwargs = {}
+            if type(self.proposal_generator).__name__ == "RBG":
+                pg_kwargs = dict(
+                    proposal_boxes=batch.get("proposal_boxes"),
+                    proposal_logits=batch.get("proposal_logits"),
+                    proposal_valid=batch.get("proposal_valid"),
+                )
             proposals, objectness, prop_valid, rpn_losses = self.proposal_generator(
-                features, image_sizes, gt_boxes, gt_valid, train=train
+                features, image_sizes, gt_boxes, gt_valid, train=train, **pg_kwargs
             )
         else:
             proposals = batch["proposal_boxes"]
@@ -79,6 +86,73 @@ class GeneralizedRCNN(nn.Module):
             losses = dict(out)
             losses.update(rpn_losses)
             return losses
+        return out
+
+
+class GeneralizedRCNNRegOnly(nn.Module):
+    """Box-correction meta-arch (rcnn.py:336-410): inference regresses the
+    candidate boxes carried in the batch's gt fields and returns corrected
+    boxes aligned to the candidate slots. Training behaves like
+    GeneralizedRCNN (with the RBG proposal source)."""
+
+    backbone: nn.Module
+    proposal_generator: Optional[nn.Module]
+    roi_heads: nn.Module
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+
+    def preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.asarray(self.pixel_mean, images.dtype)
+        std = jnp.asarray(self.pixel_std, images.dtype)
+        return (images - mean) / std
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+        images = self.preprocess(batch["image"])
+        features = self.backbone(images, train=train)
+        image_sizes = batch["image_size"]
+
+        if train:
+            if self.proposal_generator is not None:
+                proposals, objectness, prop_valid, rpn_losses = self.proposal_generator(
+                    features,
+                    image_sizes,
+                    batch.get("gt_boxes"),
+                    batch.get("gt_valid"),
+                    train=True,
+                    proposal_boxes=batch.get("proposal_boxes"),
+                    proposal_logits=batch.get("proposal_logits"),
+                    proposal_valid=batch.get("proposal_valid"),
+                )
+            else:
+                proposals = batch["proposal_boxes"]
+                prop_valid = batch["proposal_valid"]
+                rpn_losses = {}
+            gt = {
+                "boxes": batch["gt_boxes"],
+                "classes": batch["gt_classes"],
+                "valid": batch["gt_valid"],
+            }
+            losses, _ = self.roi_heads(
+                features, proposals, prop_valid, image_sizes, gt, train=True
+            )
+            losses.update(rpn_losses)
+            return losses
+
+        # inference: candidates = the gt boxes in the batch
+        gt = {
+            "boxes": batch["gt_boxes"],
+            "classes": batch["gt_classes"],
+            "valid": batch["gt_valid"],
+        }
+        out, _ = self.roi_heads(
+            features,
+            batch["gt_boxes"],
+            batch["gt_valid"],
+            image_sizes,
+            gt,
+            train=False,
+            candidates_as_proposals=True,
+        )
         return out
 
 
