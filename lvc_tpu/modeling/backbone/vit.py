@@ -1,0 +1,167 @@
+"""Vision Transformer (DINO ViT-S/8 style) for the label verifier.
+
+The reference loads DINO via torch.hub
+(tools/run_nearest_neighbours.py:292-295) and uses the CLS embedding of
+224x224 crops as the descriptor. This is a from-scratch flax ViT with the
+same architecture (patch 8, dim 384, depth 12, heads 6, mlp 4x, pre-LN) and
+a converter for the public DINO torch checkpoints.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        H = self.num_heads
+        head_dim = C // H
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim ** -0.5)
+        attn = nn.softmax(attn, axis=-1)
+        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
+        return nn.Dense(C, name="proj")(out)
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + Attention(self.dim, self.num_heads, name="attn")(
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        )
+        x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
+            nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        )
+        return x
+
+
+class VisionTransformer(nn.Module):
+    patch_size: int = 8
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    img_size: int = 224
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """x: (B, H, W, 3) -> CLS embeddings (B, embed_dim)."""
+        B = x.shape[0]
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            name="patch_embed",
+        )(x)
+        h, w = x.shape[1], x.shape[2]
+        x = x.reshape(B, h * w, self.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        n_patches = (self.img_size // self.patch_size) ** 2
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, n_patches + 1, self.embed_dim)
+        )
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if h * w != n_patches:
+            # bicubic-ish interpolation of the patch position grid
+            side = int(np.sqrt(n_patches))
+            import jax
+
+            grid = pos_patch.reshape(1, side, side, self.embed_dim)
+            grid = jax.image.resize(grid, (1, h, w, self.embed_dim), method="bicubic")
+            pos_patch = grid.reshape(1, h * w, self.embed_dim)
+        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)), x], axis=1)
+        x = x + jnp.concatenate([pos_cls, pos_patch], axis=1)
+
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio, name=f"blocks.{i}")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        return x[:, 0]
+
+
+def dino_vits8() -> VisionTransformer:
+    return VisionTransformer(patch_size=8, embed_dim=384, depth=12, num_heads=6)
+
+
+def dino_vits16() -> VisionTransformer:
+    return VisionTransformer(patch_size=16, embed_dim=384, depth=12, num_heads=6)
+
+
+def convert_dino_torch_params(state_dict) -> Dict:
+    """Map a DINO torch checkpoint (facebookresearch/dino layout) onto the
+    flax tree above."""
+    import numpy as np
+
+    def t(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    p: Dict = {}
+
+    def put(path, v):
+        d = p
+        for k in path[:-1]:
+            d = d.setdefault(k, {})
+        d[path[-1]] = v
+
+    for key, v in state_dict.items():
+        v = t(v)
+        if key == "cls_token":
+            put(("cls_token",), v)
+        elif key == "pos_embed":
+            put(("pos_embed",), v)
+        elif key == "patch_embed.proj.weight":
+            put(("patch_embed", "kernel"), v.transpose(2, 3, 1, 0))
+        elif key == "patch_embed.proj.bias":
+            put(("patch_embed", "bias"), v)
+        elif key == "norm.weight":
+            put(("norm", "scale"), v)
+        elif key == "norm.bias":
+            put(("norm", "bias"), v)
+        elif key.startswith("blocks."):
+            parts = key.split(".")
+            blk = f"blocks.{parts[1]}"
+            rest = parts[2:]
+            if rest[0] in ("norm1", "norm2"):
+                name = "scale" if rest[1] == "weight" else "bias"
+                put((blk, rest[0], name), v)
+            elif rest[0] == "attn":
+                sub = rest[1]  # qkv or proj
+                if rest[2] == "weight":
+                    put((blk, "attn", sub, "kernel"), v.T)
+                else:
+                    put((blk, "attn", sub, "bias"), v)
+            elif rest[0] == "mlp":
+                sub = rest[1]  # fc1/fc2
+                if rest[2] == "weight":
+                    put((blk, "mlp", sub, "kernel"), v.T)
+                else:
+                    put((blk, "mlp", sub, "bias"), v)
+        # head.* (projection heads) are not used for descriptors
+    return {"params": p}
