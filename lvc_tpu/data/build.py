@@ -238,6 +238,17 @@ def build_detection_train_loader(cfg, mapper: Optional[DatasetMapper] = None,
     dataset_dicts = get_dataset_dicts_all(cfg)
     if mapper is None:
         mapper = DatasetMapper(cfg, is_train=True, seed=max(cfg.SEED, 0) + rank)
+        if cfg.INPUT.MOSAIC > 0:
+            # mosaic loader switch (lvc defaults.py:518-520 / mosaic.py:130)
+            from lvc_tpu.data.mosaic import MosaicDatasetMapper
+
+            mapper = MosaicDatasetMapper(
+                mapper,
+                dataset_dicts,
+                cfg.INPUT.MOSAIC,
+                cfg.INPUT.MOSAIC49SPLIT,
+                seed=max(cfg.SEED, 0) + rank,
+            )
     sampler = _build_sampler(cfg, dataset_dicts, rank, world_size)
     per_device_batch = cfg.SOLVER.IMS_PER_BATCH // world_size
     return TrainLoader(

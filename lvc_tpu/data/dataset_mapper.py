@@ -91,8 +91,10 @@ class DatasetMapper:
 
     # -------------------------------------------------------------- mapping
     def __call__(self, dataset_dict: dict) -> Dict[str, np.ndarray]:
+        return self._map_loaded(dataset_dict, read_image(dataset_dict["file_name"], self.fmt))
+
+    def _map_loaded(self, dataset_dict: dict, image: np.ndarray) -> Dict[str, np.ndarray]:
         d = dataset_dict
-        image = read_image(d["file_name"], self.fmt)
         orig_h, orig_w = image.shape[:2]
         boxes, classes, ignores, ids, scores = self.parse_annotations(
             d.get("annotations", []), self.keep_ignore
