@@ -77,6 +77,36 @@ def build_roi_heads(cfg, strides):
         from lvc_tpu.modeling.roi_heads.cascade_rcnn import UBBRROIHeads
 
         return UBBRROIHeads(**common)
+    if name == "Res5ROIHeads":
+        from lvc_tpu.modeling.roi_heads.extra_heads import Res5ROIHeads
+
+        return Res5ROIHeads(
+            num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+            width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+            res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+            stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+            resnet_norm=cfg.MODEL.RESNETS.NORM,
+            **common,
+        )
+    if name == "StandardROIHeadsCascadeBBox":
+        from lvc_tpu.modeling.roi_heads.extra_heads import StandardROIHeadsCascadeBBox
+
+        return StandardROIHeadsCascadeBBox(**common)
+    if name == "ParallelStandardROIHeads":
+        from lvc_tpu.modeling.roi_heads.extra_heads import ParallelStandardROIHeads
+
+        base_kwargs = dict(common)
+        base_kwargs.pop("name")
+        base_kwargs["num_classes"] = len(cfg.DATASETS.SEEN_IDS)
+        novel_kwargs = dict(base_kwargs, num_classes=len(cfg.DATASETS.UNSEEN_IDS))
+        return ParallelStandardROIHeads(
+            base_head=StandardROIHeads(name="base", **base_kwargs),
+            novel_head=StandardROIHeads(name="novel", **novel_kwargs),
+            seen_ids=tuple(cfg.DATASETS.SEEN_IDS),
+            unseen_ids=tuple(cfg.DATASETS.UNSEEN_IDS),
+            split_ids=tuple(cfg.DATASETS.SPLIT_IDS),
+            name="roi_heads",
+        )
     if name not in ("StandardROIHeads",):
         raise NotImplementedError(f"ROI heads '{name}' not yet built")
     return StandardROIHeads(**common)
@@ -159,6 +189,26 @@ def _build_generalized_rcnn_reg_only(cfg):
         backbone=backbone,
         proposal_generator=pg,
         roi_heads=roi_heads,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="GeneralizedRCNN_Context")
+def _build_generalized_rcnn_context(cfg):
+    from lvc_tpu.modeling.meta_arch.rcnn import GeneralizedRCNN_Context
+
+    backbone, strides = build_backbone(cfg)
+    pg = build_proposal_generator(cfg, strides)
+    roi_heads = build_roi_heads(cfg, strides)
+    return GeneralizedRCNN_Context(
+        backbone=backbone,
+        proposal_generator=pg,
+        roi_heads=roi_heads,
+        num_classes=cfg.MODEL.ROI_HEADS.NUM_CLASSES,
+        context_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        context_in_feature=cfg.MODEL.ROI_HEADS.IN_FEATURES[-1],
+        images_only=cfg.MODEL.IMAGES_ONLY,
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
     )

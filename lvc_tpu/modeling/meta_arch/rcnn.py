@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -87,6 +88,88 @@ class GeneralizedRCNN(nn.Module):
             losses.update(rpn_losses)
             return losses
         return out
+
+
+class GeneralizedRCNN_Context(nn.Module):
+    """GeneralizedRCNN plus an auxiliary image-level multi-label BCE head
+    (lvc rcnn.py:491-756: build_context:554, context_forward_train:578).
+    Inference additionally returns per-image class scores."""
+
+    backbone: nn.Module
+    proposal_generator: Optional[nn.Module]
+    roi_heads: nn.Module
+    num_classes: int = 80
+    context_channels: int = 256
+    context_in_feature: str = "p5"
+    images_only: bool = False
+    pixel_mean: Sequence[float] = (103.53, 116.28, 123.675)
+    pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
+
+    def setup(self):
+        init = nn.initializers.normal(0.01)
+        self.cont_conv = nn.Conv(
+            self.context_channels, (1, 1), kernel_init=init, name="cont_conv"
+        )
+        self.cont_cls = nn.Dense(
+            self.num_classes, use_bias=False, kernel_init=init, name="cont_cls"
+        )
+
+    def _context_logits(self, features):
+        feat = features[self.context_in_feature]
+        # the reference computes cont_conv(feat) but pools the RAW feature
+        # (rcnn.py:596-598); keep the layer so checkpoints stay compatible
+        _ = self.cont_conv(feat)
+        x = jnp.max(feat, axis=(1, 2))  # adaptive max pool to 1x1
+        x = nn.relu(x)
+        return self.cont_cls(x)
+
+    def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
+        mean = jnp.asarray(self.pixel_mean, batch["image"].dtype)
+        std = jnp.asarray(self.pixel_std, batch["image"].dtype)
+        images = (batch["image"] - mean) / std
+        features = self.backbone(images, train=train)
+        image_sizes = batch["image_size"]
+
+        if train:
+            logits = self._context_logits(features)
+            # image-level presence mask from gt
+            cls = batch["gt_classes"]
+            onehot = jax.nn.one_hot(cls, self.num_classes)
+            mask = jnp.max(
+                jnp.where(batch["gt_valid"][..., None], onehot, 0.0), axis=1
+            )
+            z = logits
+            bce = jnp.maximum(z, 0) - z * mask + jnp.log1p(jnp.exp(-jnp.abs(z)))
+            losses = {"loss_context": jnp.mean(bce)}
+            if not self.images_only:
+                proposals, _, prop_valid, rpn_losses = self.proposal_generator(
+                    features, image_sizes, batch["gt_boxes"], batch["gt_valid"], train=True
+                )
+                gt = {
+                    "boxes": batch["gt_boxes"],
+                    "classes": batch["gt_classes"],
+                    "valid": batch["gt_valid"],
+                }
+                if "gt_ignores" in batch:
+                    gt["ignores"] = batch["gt_ignores"]
+                roi_losses, _ = self.roi_heads(
+                    features, proposals, prop_valid, image_sizes, gt, train=True
+                )
+                losses.update(roi_losses)
+                losses.update(rpn_losses)
+            return losses
+
+        logits = self._context_logits(features)
+        image_scores = jax.nn.sigmoid(logits)
+        if self.images_only:
+            return {"image_scores": image_scores}
+        proposals, objectness, prop_valid, _ = self.proposal_generator(
+            features, image_sizes, None, None, train=False
+        )
+        dets, _ = self.roi_heads(
+            features, proposals, prop_valid, image_sizes, None, train=False
+        )
+        return {"detections": dets, "image_scores": image_scores}
 
 
 class GeneralizedRCNNRegOnly(nn.Module):
