@@ -99,6 +99,41 @@ class PeriodicWriter(HookBase):
             w.close()
 
 
+class ProfilerHook(HookBase):
+    """TPU trace capture over a step window (counterpart of the reference's
+    AutogradProfiler hook, d2 hooks.py:236-297): writes a Perfetto/
+    TensorBoard-viewable trace via jax.profiler."""
+
+    def __init__(self, start_iter: int, end_iter: int, output_dir: str):
+        self._start = start_iter
+        self._end = end_iter
+        self._dir = os.path.join(output_dir, "profiler")
+        self._active = False
+
+    def before_step(self):
+        import jax
+
+        if self.trainer.iter == self._start:
+            os.makedirs(self._dir, exist_ok=True)
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def after_step(self):
+        import jax
+
+        if self._active and self.trainer.iter >= self._end:
+            jax.profiler.stop_trace()
+            self._active = False
+            logger.info("Saved profiler trace to %s", self._dir)
+
+    def after_train(self):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class EvalHookFsdet(HookBase):
     """Periodic eval; flattens result scalars into storage and json-dumps
     the final results (lvc hooks.py:16-84)."""
