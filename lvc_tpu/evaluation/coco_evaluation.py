@@ -62,8 +62,10 @@ def detections_to_coco_json(dets, meta: dict) -> List[dict]:
 
 
 def _evaluate_predictions_on_coco(coco_gt: COCO, coco_results: List[dict], catIds=None) -> COCOeval:
+    from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
+
     coco_dt = coco_gt.loadRes(copy.deepcopy(coco_results))
-    coco_eval = COCOeval(coco_gt, coco_dt)
+    coco_eval = COCOeval_opt(coco_gt, coco_dt)
     if catIds is not None:
         coco_eval.params.catIds = list(catIds)
     coco_eval.evaluate()
