@@ -79,11 +79,22 @@ def make_data_parallel_train_step(model, tx, mesh: Mesh) -> Callable:
     )
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, bf16: bool = False) -> Callable:
+    """bf16=True casts params and image to bfloat16 for the conv/matmul
+    path; box math stays f32 because anchors/proposals are f32 (promotion
+    rules), so decoded coordinates keep full precision."""
+
     @jax.jit
     def eval_step(state: TrainState, batch: Dict):
+        params = state.params
+        if bf16:
+            cast = lambda x: (
+                x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+            )
+            params = jax.tree_util.tree_map(cast, params)
+            batch = dict(batch, image=batch["image"].astype(jnp.bfloat16))
         return model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": state.batch_stats},
             batch,
             train=False,
         )

@@ -24,6 +24,10 @@ def build_backbone(cfg):
         from lvc_tpu.modeling.backbone.resnet import RESNET_STAGE_STRIDES
 
         return build_resnet(cfg), dict(RESNET_STAGE_STRIDES)
+    if name == "build_swin_transformer_fpn_backbone":
+        from lvc_tpu.modeling.backbone.swin import build_swin_fpn_backbone
+
+        return build_swin_fpn_backbone(cfg), fpn_strides(("res2", "res3", "res4", "res5"))
     raise ValueError(f"Unknown backbone: {name}")
 
 
