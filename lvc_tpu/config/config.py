@@ -89,6 +89,20 @@ class CfgNode(dict):
 
     def merge_from_file(self, filename: str, allow_unsafe: bool = True):
         cfg = _load_yaml_with_base(filename)
+        # version compatibility (lvc/config/config.py:17-64): old YAMLs are
+        # upgraded to the current schema before merging.
+        if "VERSION" in self:
+            from lvc_tpu.config import compat
+
+            loaded_ver = compat.guess_version(cfg, filename)
+            if loaded_ver > self.VERSION:
+                raise ValueError(
+                    f"Config {filename} is v{loaded_ver}, newer than this "
+                    f"framework's v{self.VERSION}"
+                )
+            if loaded_ver != self.VERSION:
+                cfg.VERSION = loaded_ver
+                cfg = compat.upgrade_config(cfg, to_version=self.VERSION)
         self.merge_from_other_cfg(cfg)
         return self
 

@@ -184,6 +184,17 @@ class DefaultTrainer:
         ret: List[hooks_mod.HookBase] = [
             hooks_mod.IterationTimer(),
             hooks_mod.LRSchedulerHook(build_lr_schedule(cfg)),
+        ]
+        if cfg.TEST.PRECISE_BN.ENABLED:
+            ret.append(
+                hooks_mod.PreciseBN(
+                    cfg.TEST.EVAL_PERIOD,
+                    self.model,
+                    self._loader_iter,
+                    cfg.TEST.PRECISE_BN.NUM_ITER,
+                )
+            )
+        ret += [
             hooks_mod.PeriodicCheckpointerHook(
                 self.checkpointer, cfg.SOLVER.CHECKPOINT_PERIOD, cfg.SOLVER.MAX_ITER
             ),

@@ -134,6 +134,73 @@ class ProfilerHook(HookBase):
             self._active = False
 
 
+def update_bn_stats(model, state, batches, momentum: float = 0.9):
+    """Recompute BatchNorm running statistics as the plain average of the
+    batch moments over ``batches`` (the reference's PreciseBN,
+    d2 hooks.py:357 / fvcore update_bn_stats).
+
+    Functional-style: each apply with ``mutable=['batch_stats']`` returns
+    the EMA-updated stats; the raw per-batch moment is recovered by
+    inverting the EMA (new = m*old + (1-m)*batch), then all raw moments are
+    averaged. Returns a new TrainState with the refreshed stats.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    old = state.batch_stats
+    acc = None
+    n = 0
+    rng = jax.random.PRNGKey(0)
+    for batch in batches:
+        rng, sub = jax.random.split(rng)
+        _, mutated = model.apply(
+            {"params": state.params, "batch_stats": old},
+            batch,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"sampling": sub, "dropout": sub},
+        )
+        new = mutated["batch_stats"]
+        raw = jax.tree_util.tree_map(
+            lambda nw, od: (nw - momentum * od) / (1.0 - momentum), new, old
+        )
+        acc = raw if acc is None else jax.tree_util.tree_map(jnp.add, acc, raw)
+        n += 1
+    if n == 0:
+        return state
+    avg = jax.tree_util.tree_map(lambda a: a / n, acc)
+    return state.replace(batch_stats=avg)
+
+
+class PreciseBN(HookBase):
+    """Refresh BN running stats from NUM_ITER train batches before each
+    eval (d2 hooks.py:357-426). No-op when the model has no mutable BN."""
+
+    def __init__(self, period: int, model, data_iter, num_iter: int = 200):
+        self._period = period
+        self._model = model
+        self._data_iter = data_iter
+        self._num_iter = num_iter
+
+    def _has_bn(self):
+        stats = self.trainer.state.batch_stats
+        import jax
+
+        return len(jax.tree_util.tree_leaves(stats)) > 0
+
+    def _run(self):
+        if not self._has_bn():
+            return
+        batches = (next(self._data_iter) for _ in range(self._num_iter))
+        self.trainer.state = update_bn_stats(self._model, self.trainer.state, batches)
+        logger.info("PreciseBN: refreshed batch_stats over %d batches", self._num_iter)
+
+    def after_step(self):
+        it = self.trainer.iter + 1
+        if self._period > 0 and (it % self._period == 0 or it >= self.trainer.max_iter):
+            self._run()
+
+
 class EvalHookFsdet(HookBase):
     """Periodic eval; flattens result scalars into storage and json-dumps
     the final results (lvc hooks.py:16-84)."""

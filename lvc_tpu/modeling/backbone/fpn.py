@@ -28,7 +28,8 @@ class FPN(nn.Module):
     out_channels: int = 256
     norm: str = ""
     fuse_type: str = "sum"
-    top_block: str = "maxpool"  # "maxpool" => p6; "" => none
+    top_block: str = "maxpool"  # "maxpool" => p6; "p6p7" => p6+p7; "" => none
+    p6p7_from_res5: bool = True  # LastLevelP6P7 input (res5 vs p5)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -68,6 +69,19 @@ class FPN(nn.Module):
             # LastLevelMaxPool (fpn.py:165): kernel 1, stride 2
             top_sid = max(stage_ids) + 1
             results[f"p{top_sid}"] = results[f"p{max(stage_ids)}"][:, ::2, ::2, :]
+        elif self.top_block == "p6p7":
+            # LastLevelP6P7 (fpn.py:180): stride-2 convs off res5/p5 for
+            # RetinaNet-style pyramids.
+            top_sid = max(stage_ids)
+            src = bottom_up_features[f"res{top_sid}"] if self.p6p7_from_res5 else results[f"p{top_sid}"]
+            p6 = Conv2d(
+                self.out_channels, kernel_size=3, stride=2, padding=1, name="top_block_p6"
+            )(src)
+            p7 = Conv2d(
+                self.out_channels, kernel_size=3, stride=2, padding=1, name="top_block_p7"
+            )(nn.relu(p6))
+            results[f"p{top_sid + 1}"] = p6
+            results[f"p{top_sid + 2}"] = p7
         return results
 
 
@@ -76,6 +90,9 @@ def fpn_strides(in_features: Sequence[str], top_block: str = "maxpool") -> Dict[
     strides = {f"p{s}": 2 ** s for s in stage_ids}
     if top_block == "maxpool":
         strides[f"p{max(stage_ids) + 1}"] = 2 ** (max(stage_ids) + 1)
+    elif top_block == "p6p7":
+        strides[f"p{max(stage_ids) + 1}"] = 2 ** (max(stage_ids) + 1)
+        strides[f"p{max(stage_ids) + 2}"] = 2 ** (max(stage_ids) + 2)
     return strides
 
 

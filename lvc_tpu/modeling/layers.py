@@ -130,6 +130,43 @@ class Conv2d(nn.Module):
         return x
 
 
+class ASPP(nn.Module):
+    """Atrous Spatial Pyramid Pooling (detectron2/layers/aspp.py:12):
+    parallel 1x1 + three dilated 3x3 convs + global-pool branch, fused by a
+    1x1 projection. On TPU the five branches are independent MXU convs XLA
+    schedules concurrently; the pooling branch broadcasts instead of
+    resizing (exact for the train-size-free case)."""
+
+    features: int
+    dilations: Sequence[int] = (6, 12, 18)
+    norm: str = ""
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        branches = [
+            Conv2d(self.features, 1, use_bias=(self.norm == ""), norm=self.norm,
+                   activation=nn.relu, name="conv1x1")(x)
+        ]
+        for i, d in enumerate(self.dilations):
+            branches.append(
+                Conv2d(
+                    self.features, 3, padding=d, dilation=d,
+                    use_bias=(self.norm == ""), norm=self.norm,
+                    activation=nn.relu, name=f"conv3x3_{i}",
+                )(x)
+            )
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = Conv2d(self.features, 1, activation=nn.relu, name="pool_conv")(pooled)
+        branches.append(jnp.broadcast_to(pooled, branches[0].shape))
+        y = jnp.concatenate(branches, axis=-1)
+        y = Conv2d(self.features, 1, use_bias=(self.norm == ""), norm=self.norm,
+                   activation=nn.relu, name="project")(y)
+        if self.dropout > 0 and train:
+            y = nn.Dropout(self.dropout, deterministic=False)(y)
+        return y
+
+
 def max_pool_torch(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """Max-pool with torch-style symmetric padding (pads with -inf)."""
     return nn.max_pool(

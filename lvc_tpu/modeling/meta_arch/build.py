@@ -96,6 +96,10 @@ def build_roi_heads(cfg, strides):
         from lvc_tpu.modeling.roi_heads.extra_heads import StandardROIHeadsCascadeBBox
 
         return StandardROIHeadsCascadeBBox(**common)
+    if name == "CascadeStandardROIHeads":
+        from lvc_tpu.modeling.roi_heads.extra_heads import CascadeStandardROIHeads
+
+        return CascadeStandardROIHeads(**common)
     if name == "ParallelStandardROIHeads":
         from lvc_tpu.modeling.roi_heads.extra_heads import ParallelStandardROIHeads
 
@@ -144,6 +148,7 @@ def _roi_heads_kwargs(cfg, strides):
         score_thresh_test=cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST,
         nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        debug=cfg.DEBUG,
         name="roi_heads",
     )
 
@@ -213,6 +218,19 @@ def _build_generalized_rcnn_context(cfg):
         context_channels=cfg.MODEL.FPN.OUT_CHANNELS,
         context_in_feature=cfg.MODEL.ROI_HEADS.IN_FEATURES[-1],
         images_only=cfg.MODEL.IMAGES_ONLY,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="RPNComp")
+def _build_rpn_comp(cfg):
+    from lvc_tpu.modeling.meta_arch.rpn_comp import RPNComp
+
+    backbone, _ = build_backbone(cfg)
+    return RPNComp(
+        backbone=backbone,
+        pooler=cfg.MODEL.RPNCOMP.POOLER or "identity",
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
     )

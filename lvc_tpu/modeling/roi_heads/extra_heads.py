@@ -146,6 +146,55 @@ class ParallelStandardROIHeads(nn.Module):
         return Detections(boxes, scores, classes, valid, prop_idx), None
 
 
+class CascadeStandardROIHeads(StandardROIHeads):
+    """Two-pass test-time box refinement (roi_heads.py:869-935).
+
+    Training is plain StandardROIHeads. At inference the first pass decodes
+    per-class boxes with NMS disabled (the reference passes nms_thresh=1.5
+    and an unbounded top-k), the refined boxes are re-pooled and scored by
+    the same head, and the second pass runs the standard score-filter /
+    per-class NMS / top-k. TPU-first: "unbounded" becomes a fixed budget of
+    ``refine_candidates`` slots (score-ranked, far above the ~1k surviving
+    the 0.05 threshold in practice)."""
+
+    refine_candidates: int = 512
+
+    def __call__(self, features, proposals, proposal_valid, image_sizes, gt=None, *, train=False):
+        if train:
+            return super().__call__(
+                features, proposals, proposal_valid, image_sizes, gt, train=True
+            )
+        B, P = proposals.shape[:2]
+        pooled = self.pool(features, proposals)
+        x = pooled.reshape(B * P, *pooled.shape[2:])
+        x = self.box_head(x, train=False)
+        scores, deltas = self.box_predictor(x)
+        probs = jax.nn.softmax(scores, axis=-1).reshape(B, P, -1)
+        boxes = self.box2box.apply_deltas(deltas.reshape(B, P, -1), proposals)
+        from lvc_tpu.modeling.roi_heads.fast_rcnn import fast_rcnn_inference
+
+        # pass 1: nms_thresh > 1 keeps every above-threshold candidate
+        init = fast_rcnn_inference(
+            boxes, probs, image_sizes, proposal_valid,
+            self.score_thresh_test, 1.5,
+            self.refine_candidates, self.pre_nms_candidates,
+        )
+        # pass 2: refined boxes as proposals, standard inference
+        R = init.boxes.shape[1]
+        pooled2 = self.pool(features, init.boxes)
+        x2 = pooled2.reshape(B * R, *pooled2.shape[2:])
+        x2 = self.box_head(x2, train=False)
+        scores2, deltas2 = self.box_predictor(x2)
+        probs2 = jax.nn.softmax(scores2, axis=-1).reshape(B, R, -1)
+        boxes2 = self.box2box.apply_deltas(deltas2.reshape(B, R, -1), init.boxes)
+        dets = fast_rcnn_inference(
+            boxes2, probs2, image_sizes, init.valid,
+            self.score_thresh_test, self.nms_thresh_test,
+            self.detections_per_image, self.pre_nms_candidates,
+        )
+        return dets, None
+
+
 class StandardROIHeadsCascadeBBox(StandardROIHeads):
     """Fast R-CNN head plus an extra class-agnostic regressor branch
     (roi_heads_cascade.py:214-396): the extra branch trains with a

@@ -77,6 +77,8 @@ class StandardROIHeads(nn.Module):
     nms_thresh_test: float = 0.5
     detections_per_image: int = 100
     pre_nms_candidates: int = 2048
+    # cfg.DEBUG (lvc roi_heads.py:499,601): keep top-2 class scores per det
+    debug: bool = False
 
     def setup(self):
         self.box_head = FastRCNNConvFCHead(
@@ -232,7 +234,14 @@ class StandardROIHeads(nn.Module):
             boxes = self.box2box.apply_deltas(
                 deltas.reshape(B, P, -1), proposals
             )  # (B, P, K*4)
-            dets = fast_rcnn_inference(
+            infer = fast_rcnn_inference
+            if self.debug:
+                from lvc_tpu.modeling.roi_heads.fast_rcnn_debug import (
+                    fast_rcnn_inference_debug,
+                )
+
+                infer = fast_rcnn_inference_debug
+            dets = infer(
                 boxes,
                 probs,
                 image_sizes,
