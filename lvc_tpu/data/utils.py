@@ -129,6 +129,53 @@ def filter_annotations(
     return dataset_dicts
 
 
+def filter_proposal_boxes(
+    dataset_dicts: List[dict],
+    area_rng=(0.0, 1.0e10),
+    rel_area_rng=(0.0, 2.0),
+    x_rng=(0.0, 1.0e10),
+    y_rng=(0.0, 1.0e10),
+    topk: int = int(1e10),
+) -> List[dict]:
+    """Geometric filter on loaded proposals (lvc utils.py:59-83): keep the
+    first ``topk`` per image, then gate by absolute/relative area and
+    width/height ranges."""
+    for d in dataset_dicts:
+        boxes = np.asarray(d.get("proposal_boxes", np.zeros((0, 4), np.float32)))
+        logits = np.asarray(d.get("proposal_objectness_logits", np.zeros((0,), np.float32)))
+        if not len(boxes):
+            continue
+        areas = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        rel = areas / float(d["height"] * d["width"])
+        ws = boxes[:, 2] - boxes[:, 0]
+        hs = boxes[:, 3] - boxes[:, 1]
+        keep = (areas > area_rng[0]) & (areas <= area_rng[1])
+        keep &= (rel > rel_area_rng[0]) & (rel <= rel_area_rng[1])
+        keep &= (ws > x_rng[0]) & (ws <= x_rng[1])
+        keep &= (hs > y_rng[0]) & (hs <= y_rng[1])
+        d["proposal_boxes"] = boxes[:topk][keep[:topk]]
+        d["proposal_objectness_logits"] = logits[:topk][keep[:topk]]
+    return dataset_dicts
+
+
+def remove_overlap_proposals(dataset_dicts: List[dict], iou_thresh: float) -> List[dict]:
+    """Drop proposals overlapping any gt annotation at IoU >= thresh
+    (lvc utils.py:125-143)."""
+    for d in dataset_dicts:
+        annos = d.get("annotations", [])
+        boxes = np.asarray(d.get("proposal_boxes", np.zeros((0, 4), np.float32)))
+        if not (len(annos) and len(boxes)):
+            continue
+        gt = _anns_xyxy(annos)
+        ious = _iou_xyxy(gt, boxes)
+        keep = ious.max(axis=0) < iou_thresh
+        d["proposal_boxes"] = boxes[keep]
+        d["proposal_objectness_logits"] = np.asarray(
+            d["proposal_objectness_logits"]
+        )[keep]
+    return dataset_dicts
+
+
 def unseen_sample(dataset_dicts: List[dict]) -> List[dict]:
     """Balanced subsetting: cap each category's image count at the largest
     unseen-class count (lvc utils.py:281-308)."""
