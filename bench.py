@@ -30,6 +30,9 @@ def main():
 
     cfg = g._small_cfg()
     cfg.MODEL.RESNETS.DEPTH = 101
+    # serving path: conv/dense compute in bf16 (MXU native rate), box
+    # decode/NMS in f32 — see lvc_tpu/modeling/layers.py
+    cfg.MODEL.DTYPE = "bfloat16"
     model = build_model(cfg)
     batch = g._make_batch(B=BATCH, H=HEIGHT, W=WIDTH)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)

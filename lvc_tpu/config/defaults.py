@@ -18,6 +18,9 @@ _C.MODEL.LOAD_PROPOSALS = False
 _C.MODEL.MASK_ON = False
 _C.MODEL.KEYPOINT_ON = False
 _C.MODEL.DEVICE = "tpu"  # informational; jax picks the backend
+# conv/dense compute dtype ("float32" | "bfloat16"). Params stay f32; box
+# decode / NMS / losses always run f32 (see modeling/layers.py).
+_C.MODEL.DTYPE = "float32"
 _C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
 _C.MODEL.WEIGHTS = ""
 # BGR order to match INPUT.FORMAT default (d2 defaults.py:38-42)

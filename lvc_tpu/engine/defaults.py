@@ -120,7 +120,7 @@ class DefaultTrainer:
             )
         )
         variables = self._materialize(variables, seed)
-        self.tx = build_optimizer(cfg, variables["params"])
+        self.tx = self.build_optimizer(cfg, variables["params"])
         self.state = TrainState.create(variables, self.tx)
         self._first_batch = example
 
@@ -166,6 +166,10 @@ class DefaultTrainer:
     @classmethod
     def build_model(cls, cfg):
         return build_model(cfg)
+
+    @classmethod
+    def build_optimizer(cls, cfg, params):
+        return build_optimizer(cfg, params)
 
     @classmethod
     def build_train_loader(cls, cfg):

@@ -103,6 +103,98 @@ class BottleneckBlock(nn.Module):
         return out
 
 
+class BottleneckBlockCLIP(nn.Module):
+    """CLIP/ResNet-D style bottleneck (reference resnet.py:326-446,
+    selected by MODEL.RESNETS.D): all convs stride 1; downsampling happens
+    by average pooling after conv2 on the main path and before the 1x1 on
+    the shortcut."""
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    dilation: int = 1
+    has_shortcut: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        out = Conv2d(
+            self.bottleneck_channels, kernel_size=1, use_bias=False,
+            norm=self.norm, activation=nn.relu, name="conv1",
+        )(x)
+        out = Conv2d(
+            self.bottleneck_channels, kernel_size=3, padding=self.dilation,
+            dilation=self.dilation, groups=self.num_groups, use_bias=False,
+            norm=self.norm, activation=nn.relu, name="conv2",
+        )(out)
+        if self.stride > 1:
+            out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
+        out = Conv2d(
+            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm, name="conv3"
+        )(out)
+        if self.has_shortcut:
+            sc = x
+            if self.stride > 1:
+                sc = nn.avg_pool(sc, (self.stride, self.stride), (self.stride, self.stride))
+            shortcut = Conv2d(
+                self.out_channels, kernel_size=1, use_bias=False,
+                norm=self.norm, name="shortcut",
+            )(sc)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
+class DeformBottleneckBlock(nn.Module):
+    """Bottleneck with a deformable 3x3 (reference resnet.py:447,
+    DEFORM_ON_PER_STAGE); the offset-predicting conv starts at zero so the
+    block begins as a plain bottleneck."""
+
+    out_channels: int
+    bottleneck_channels: int
+    stride: int = 1
+    num_groups: int = 1
+    norm: str = "FrozenBN"
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    has_shortcut: bool = False
+    deform_modulated: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from lvc_tpu.modeling.layers import get_norm
+        from lvc_tpu.ops.deform_conv import DeformConv
+
+        stride_1x1, stride_3x3 = (
+            (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        )
+        out = Conv2d(
+            self.bottleneck_channels, kernel_size=1, stride=stride_1x1,
+            use_bias=False, norm=self.norm, activation=nn.relu, name="conv1",
+        )(x)
+        out = DeformConv(
+            features=self.bottleneck_channels, kernel_size=3, stride=stride_3x3,
+            padding=self.dilation, dilation=self.dilation,
+            modulated=self.deform_modulated, name="conv2",
+        )(out)
+        norm2 = get_norm(self.norm, self.bottleneck_channels)
+        if norm2 is not None:
+            out = norm2(out)
+        out = nn.relu(out)
+        out = Conv2d(
+            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm, name="conv3"
+        )(out)
+        if self.has_shortcut:
+            shortcut = Conv2d(
+                self.out_channels, kernel_size=1, stride=self.stride,
+                use_bias=False, norm=self.norm, name="shortcut",
+            )(x)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
 class ResNet(nn.Module):
     """Returns a dict of stage outputs {"res2": ..., ..., "res5": ...}
     restricted to ``out_features``."""
@@ -117,6 +209,9 @@ class ResNet(nn.Module):
     norm: str = "FrozenBN"
     out_features: Sequence[str] = ("res4",)
     dropout: float = 0.0
+    clip_block: bool = False  # MODEL.RESNETS.D: CLIP/ResNet-D bottleneck
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
 
     @staticmethod
     def stage_blocks(depth: int) -> List[int]:
@@ -153,18 +248,31 @@ class ResNet(nn.Module):
             first_stride = 1 if idx == 0 or (stage_idx == 5 and dilation == 2) else 2
             stage_name = f"res{stage_idx}"
             for b in range(blocks_per_stage[idx]):
-                x = BottleneckBlock(
+                common = dict(
                     out_channels=out_channels,
                     bottleneck_channels=bottleneck_channels,
                     stride=first_stride if b == 0 else 1,
                     num_groups=self.num_groups,
                     norm=self.norm,
-                    stride_in_1x1=self.stride_in_1x1,
                     dilation=dilation,
                     has_shortcut=(b == 0),
-                    dropout=self.dropout,
                     name=f"{stage_name}.{b}",
-                )(x, train=train)
+                )
+                if self.clip_block:
+                    block = BottleneckBlockCLIP(**common)
+                elif self.deform_on_per_stage[idx]:
+                    block = DeformBottleneckBlock(
+                        stride_in_1x1=self.stride_in_1x1,
+                        deform_modulated=self.deform_modulated,
+                        **common,
+                    )
+                else:
+                    block = BottleneckBlock(
+                        stride_in_1x1=self.stride_in_1x1,
+                        dropout=self.dropout,
+                        **common,
+                    )
+                x = block(x, train=train)
             if stage_name in self.out_features:
                 out[stage_name] = x
             in_channels = out_channels
@@ -200,5 +308,8 @@ def build_resnet(cfg) -> ResNet:
         norm=cfg.MODEL.RESNETS.NORM,
         out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         dropout=cfg.MODEL.RESNETS.DROPOUT,
+        clip_block=cfg.MODEL.RESNETS.D,
+        deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
+        deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
         name="bottom_up",
     )

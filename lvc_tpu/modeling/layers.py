@@ -13,6 +13,27 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+# ---------------------------------------------------------------------------
+# Global compute dtype for conv/dense math (mixed precision).
+#
+# Params stay float32; when set to bfloat16, flax casts inputs+kernels to
+# bf16 inside each conv/dense so the MXU runs at its bf16 rate, and the
+# heads cast their outputs back to f32 before any box decode / NMS / loss
+# (coordinate math must not run in bf16: 8 mantissa bits = multi-pixel
+# error at image scale). Set from cfg.MODEL.DTYPE in build_model; read at
+# trace time, so each jit of a model apply picks up the current setting.
+# ---------------------------------------------------------------------------
+_COMPUTE_DTYPE = jnp.float32
+
+
+def set_compute_dtype(dtype) -> None:
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = jnp.dtype(dtype)
+
+
+def get_compute_dtype():
+    return _COMPUTE_DTYPE
+
 
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with constant affine + stats (detectron2 FrozenBatchNorm2d,
@@ -33,8 +54,11 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable(
             "batch_stats", "running_var", nn.initializers.ones, None, (self.features,)
         )
+        # fold in f32, apply in the activation dtype (keeps bf16 activations
+        # bf16 instead of promoting the whole backbone back to f32)
         scale = weight * jax.lax.rsqrt(var.value + self.eps)
-        return x * scale + (bias - mean.value * scale)
+        shift = bias - mean.value * scale
+        return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
 class SyncBatchNorm(nn.Module):
@@ -119,6 +143,7 @@ class Conv2d(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             feature_group_count=self.groups,
             use_bias=self.use_bias,
+            dtype=get_compute_dtype(),
             name="conv",
             **kwargs,
         )(x)

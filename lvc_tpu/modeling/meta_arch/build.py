@@ -250,4 +250,7 @@ def _build_proposal_network(cfg):
 
 def build_model(cfg):
     """cfg -> flax Module (lvc build.py:12-17 analogue)."""
+    from lvc_tpu.modeling.layers import set_compute_dtype
+
+    set_compute_dtype(cfg.MODEL.DTYPE)
     return META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)(cfg)

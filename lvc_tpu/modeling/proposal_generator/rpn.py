@@ -111,8 +111,10 @@ class RPN(nn.Module):
         B = feats[0].shape[0]
         A = self.anchor_generator.num_anchors[0]
         # NHWC conv outputs reshape directly to the reference's (H*W*A) order.
-        logits_flat = [l.reshape(B, -1) for l in logits_lvl]
-        deltas_flat = [d.reshape(B, -1, 4) for d in deltas_lvl]
+        # Box decode / NMS / losses always run in f32 (mixed-precision convs
+        # may emit bf16 — coordinate math cannot afford 8 mantissa bits).
+        logits_flat = [l.reshape(B, -1).astype(jnp.float32) for l in logits_lvl]
+        deltas_flat = [d.reshape(B, -1, 4).astype(jnp.float32) for d in deltas_lvl]
 
         losses = {}
         if train and gt_boxes is not None:

@@ -11,7 +11,7 @@ from typing import Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from lvc_tpu.modeling.layers import Conv2d
+from lvc_tpu.modeling.layers import Conv2d, get_compute_dtype
 
 
 class FastRCNNConvFCHead(nn.Module):
@@ -41,7 +41,9 @@ class FastRCNNConvFCHead(nn.Module):
             n = x.shape[0]
             x = x.transpose(0, 3, 1, 2).reshape(n, -1)
             for k in range(self.num_fc):
-                x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{k + 1}")(x))
+                x = nn.relu(
+                    nn.Dense(self.fc_dim, dtype=get_compute_dtype(), name=f"fc{k + 1}")(x)
+                )
                 if self.dropout > 0:
                     x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x

@@ -29,12 +29,15 @@ class FastRCNNOutputLayers(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from lvc_tpu.modeling.layers import get_compute_dtype
+
         if x.ndim > 2:
             x = x.reshape(x.shape[0], -1)
         scores = nn.Dense(
             self.num_classes + 1,
             kernel_init=nn.initializers.normal(0.01),
             bias_init=nn.initializers.zeros,
+            dtype=get_compute_dtype(),
             name="cls_score",
         )(x)
         num_reg = 1 if self.cls_agnostic_bbox_reg else self.num_classes
@@ -42,9 +45,12 @@ class FastRCNNOutputLayers(nn.Module):
             num_reg * self.box_dim,
             kernel_init=nn.initializers.normal(0.001),
             bias_init=nn.initializers.zeros,
+            dtype=get_compute_dtype(),
             name="bbox_pred",
         )(x)
-        return scores, deltas
+        # heads hand f32 to box decode / softmax / losses regardless of the
+        # conv compute dtype
+        return scores.astype(jnp.float32), deltas.astype(jnp.float32)
 
 
 class CosineSimOutputLayers(nn.Module):
@@ -60,6 +66,9 @@ class CosineSimOutputLayers(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if x.ndim > 2:
             x = x.reshape(x.shape[0], -1)
+        # cosine similarity runs in f32 even under mixed precision: the
+        # normalization makes it numerically delicate and it's tiny
+        x = x.astype(jnp.float32)
         w = self.param(
             "cls_score_weight", nn.initializers.normal(0.01), (x.shape[-1], self.num_classes + 1)
         )
@@ -95,7 +104,7 @@ class BoxOnlyLayers(nn.Module):
             kernel_init=nn.initializers.normal(0.001),
             bias_init=nn.initializers.zeros,
             name="bbox_pred",
-        )(x)
+        )(x.astype(jnp.float32))
 
 
 # --------------------------------------------------------------------------

@@ -187,3 +187,19 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         optax.masked(tx, mask),
         optax.masked(optax.set_to_zero(), jax.tree_util.tree_map(lambda t: not t, mask)),
     )
+
+
+def build_clip_optimizer(cfg, params) -> optax.GradientTransformation:
+    """build_optimizer plus a reduced backbone learning rate: parameters
+    under ``backbone/bottom_up`` step at SOLVER.CLIP_LR instead of BASE_LR
+    (tools/train_net_qe_ig.py:51-99 — the CLIP-backbone finetune recipe).
+    Implemented as a post-scale on the bottom-up subtree, so the wd/momentum
+    chain is shared with the standard optimizer."""
+    base = build_optimizer(cfg, params)
+    ratio = cfg.SOLVER.CLIP_LR / max(cfg.SOLVER.BASE_LR, 1e-12)
+
+    def is_bottom_up(path, _):
+        return _path_str(path).startswith("backbone/bottom_up/")
+
+    bu_mask = jax.tree_util.tree_map_with_path(is_bottom_up, params)
+    return optax.chain(base, optax.masked(optax.scale(ratio), bu_mask))

@@ -58,6 +58,8 @@ class EventStorage:
         self._smoothing_hints: Dict[str, bool] = {}
         self._iter = start_iter
         self._name_scope = ""
+        self._vis_data = []
+        self._histograms = []
 
     @property
     def iter(self) -> int:
@@ -87,6 +89,35 @@ class EventStorage:
         for k, h in self._history.items():
             out[k] = h.median() if self._smoothing_hints.get(k, True) else h.latest()
         return out
+
+    def put_image(self, img_name: str, img_tensor):
+        """Queue an image for writers that support it (events.py:put_image).
+        img_tensor: (H, W, 3) uint8/float in [0, 255]."""
+        self._vis_data.append((img_name, img_tensor, self.iter))
+
+    def put_histogram(self, hist_name: str, values, bins: int = 1000):
+        """Queue a histogram of ``values`` (events.py:put_histogram)."""
+        import numpy as np
+
+        values = np.asarray(values).reshape(-1)
+        counts, edges = np.histogram(values, bins=min(bins, max(len(values), 1)))
+        self._histograms.append(
+            dict(name=hist_name, counts=counts, edges=edges, iter=self.iter)
+        )
+
+    def clear_images(self):
+        self._vis_data = []
+
+    def clear_histograms(self):
+        self._histograms = []
+
+    @property
+    def vis_data(self):
+        return self._vis_data
+
+    @property
+    def histograms(self):
+        return self._histograms
 
     @contextmanager
     def name_scope(self, name: str):

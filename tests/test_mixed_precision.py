@@ -1,0 +1,105 @@
+"""Mixed-precision (bfloat16 compute) path: convs run bf16, coordinate
+math stays f32, numerics stay close to the f32 path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lvc_tpu.modeling.layers import (
+    Conv2d,
+    FrozenBatchNorm,
+    get_compute_dtype,
+    set_compute_dtype,
+)
+
+
+@pytest.fixture(autouse=True)
+def _restore_dtype():
+    yield
+    set_compute_dtype(jnp.float32)
+
+
+def test_conv2d_bf16_close_to_f32():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(1, 16, 16, 8).astype(np.float32))
+    layer = Conv2d(8, kernel_size=3, padding=1, norm="FrozenBN", name="c")
+    set_compute_dtype(jnp.float32)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    ref = layer.apply(variables, x)
+    assert ref.dtype == jnp.float32
+
+    set_compute_dtype(jnp.bfloat16)
+    out = layer.apply(variables, x)
+    assert out.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+    assert err < 0.02 * np.abs(np.asarray(ref)).max()
+
+
+def test_frozen_bn_preserves_dtype():
+    bn = FrozenBatchNorm(4)
+    x32 = jnp.ones((2, 3, 3, 4), jnp.float32)
+    variables = bn.init(jax.random.PRNGKey(0), x32)
+    assert bn.apply(variables, x32).dtype == jnp.float32
+    x16 = x32.astype(jnp.bfloat16)
+    assert bn.apply(variables, x16).dtype == jnp.bfloat16
+
+
+def test_model_bf16_outputs_f32_coords():
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.modeling.meta_arch.build import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.DTYPE = "bfloat16"
+    model = build_model(cfg)
+    assert get_compute_dtype() == jnp.bfloat16
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32) * 255),
+        "image_size": jnp.asarray([[128, 128]], np.int32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+    dets = model.apply(variables, batch, train=False)
+    # coordinates and scores are f32 and finite even though convs ran bf16
+    assert dets.boxes.dtype == jnp.float32
+    assert dets.scores.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(dets.boxes)))
+    # params stayed f32 (mixed precision, not a cast-everything path)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+def test_model_bf16_close_to_f32_detections():
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.modeling.meta_arch.build import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    model = build_model(cfg)  # sets f32
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32) * 255),
+        "image_size": jnp.asarray([[128, 128]], np.int32),
+    }
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
+
+    set_compute_dtype(jnp.float32)
+    d32 = model.apply(variables, batch, train=False)
+    set_compute_dtype(jnp.bfloat16)
+    d16 = model.apply(variables, batch, train=False)
+
+    v32 = np.asarray(d32.valid)
+    v16 = np.asarray(d16.valid)
+    # same number of detections within slack and top-score agreement
+    assert abs(int(v32.sum()) - int(v16.sum())) <= max(2, int(0.1 * v32.sum()))
+    if v32.any() and v16.any():
+        s32 = float(np.asarray(d32.scores)[v32].max())
+        s16 = float(np.asarray(d16.scores)[v16].max())
+        assert abs(s32 - s16) < 0.05

@@ -28,6 +28,16 @@ class TrainerQEIgnore(DefaultTrainer):
         mapper = DatasetMapper(cfg, is_train=True, keep_ignore=True, seed=max(cfg.SEED, 0))
         return build_detection_train_loader(cfg, mapper=mapper)
 
+    @classmethod
+    def build_optimizer(cls, cfg, params):
+        # CLIP-style (ResNet-D) backbones finetune at SOLVER.CLIP_LR
+        # (reference train_net_qe_ig.py:51-117 build_clip_optimizer)
+        if cfg.MODEL.RESNETS.D:
+            from lvc_tpu.solver.build import build_clip_optimizer
+
+            return build_clip_optimizer(cfg, params)
+        return super().build_optimizer(cfg, params)
+
 
 def setup(args):
     cfg = get_cfg()
