@@ -25,7 +25,10 @@ from lvc_tpu.modeling.roi_heads.fast_rcnn import (
     fast_rcnn_inference,
     fast_rcnn_losses,
 )
-from lvc_tpu.ops.roi_align import batched_multilevel_roi_align
+from lvc_tpu.ops.roi_align import (
+    batched_multilevel_roi_align,
+    batched_multilevel_roi_align_tiled,
+)
 from lvc_tpu.structures import boxes as box_ops
 
 # objectness logit assigned to gt boxes appended to proposals
@@ -79,6 +82,9 @@ class StandardROIHeads(nn.Module):
     pre_nms_candidates: int = 2048
     # cfg.DEBUG (lvc roi_heads.py:499,601): keep top-2 class scores per det
     debug: bool = False
+    # "auto" (pallas DMA kernel on TPU, point gather elsewhere) |
+    # "pallas" | "tiled" (XLA slice gather) | "exact" (point gather)
+    pooler_impl: str = "auto"
 
     def setup(self):
         self.box_head = FastRCNNConvFCHead(
@@ -167,10 +173,24 @@ class StandardROIHeads(nn.Module):
     # --------------------------------------------------------------- pooling
     def pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
         """features: per-level (B, H, W, C); boxes (B, R, 4) ->
-        (B, R, P, P, C)."""
+        (B, R, P, P, C). Uses the tiled slice-gather RoIAlign (the point
+        gather formulation is ~10x slower on TPU; see ops/roi_align.py)."""
         feats = [features[f] for f in self.in_features]
         strides = tuple(self.strides[f] for f in self.in_features)
-        return batched_multilevel_roi_align(
+        impl_name = self.pooler_impl
+        if impl_name == "auto":
+            import jax
+
+            impl_name = "pallas" if jax.default_backend() == "tpu" else "exact"
+        if impl_name == "pallas":
+            from lvc_tpu.ops.roi_align import batched_multilevel_roi_align_pallas
+
+            impl = batched_multilevel_roi_align_pallas
+        elif impl_name == "tiled":
+            impl = batched_multilevel_roi_align_tiled
+        else:
+            impl = batched_multilevel_roi_align
+        return impl(
             feats,
             boxes,
             strides,

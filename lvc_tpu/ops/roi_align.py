@@ -224,6 +224,251 @@ def multilevel_roi_align(
         "min_level",
         "canonical_box_size",
         "canonical_level",
+        "tile",
+        "chunk",
+    ),
+)
+def batched_multilevel_roi_align_tiled(
+    features: Sequence[jnp.ndarray],  # per-level (B, H_l, W_l, C)
+    boxes: jnp.ndarray,  # (B, R, 4)
+    strides: Tuple[int, ...],
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    max_grid: int = 2,
+    min_level: int | None = None,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    tile: int = 48,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """RoIAlign restructured for TPU memory bandwidth.
+
+    The point-gather formulation (``batched_multilevel_roi_align``) issues
+    one 512 B row-gather per bilinear corner — measured ~45 GB/s on a v5e
+    chip, 100 ms for an R-101-FPN batch. Here each of a box's 2*P*G sample
+    rows fetches ONE contiguous ``(2, tile, C)`` block via a batched
+    dynamic-slice (a multi-KB DMA), and the bilinear x-interpolation
+    becomes a small per-box einsum on the MXU. Same sampling semantics as
+    the exact kernel (aligned=True, adaptive grid capped at ``max_grid``,
+    edge rules of ROIAlign_cpu.cpp); the one approximation: boxes whose
+    per-axis footprint on their assigned level exceeds ``tile - 2`` pixels
+    (degenerate aspect ratios; impossible for in-image boxes at the
+    canonical levels with tile=48) have their sample columns clamped into
+    the tile window.
+
+    Returns (B, R, P, P, C).
+    """
+    B, R = boxes.shape[:2]
+    P = output_size
+    flat, starts, Wx, wy, count, G, dtype = _tiled_prep(
+        features, boxes, strides, output_size, sampling_ratio, max_grid,
+        min_level, canonical_box_size, canonical_level, tile,
+    )
+    n = B * R
+    C = features[0].shape[-1]
+    q = P * G
+
+    # ---- chunked fetch + interpolate -----------------------------------
+    n_pad = ((n + chunk - 1) // chunk) * chunk
+    if n_pad != n:
+        pad = n_pad - n
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        Wx = jnp.pad(Wx, ((0, pad), (0, 0), (0, 0)))
+        wy = jnp.pad(wy, ((0, pad), (0, 0), (0, 0)))
+        count = jnp.pad(count, (0, pad), constant_values=1.0)
+    nc = n_pad // chunk
+
+    slice_one = lambda s: jax.lax.dynamic_slice(flat, (s, 0), (tile, C))
+
+    def do_chunk(args):
+        st, wxc, wyc, cnt = args
+        # (chunk, P*G*2, tile, C): each sample row's two corner rows
+        tiles = jax.vmap(jax.vmap(slice_one))(st)
+        tiles = tiles.reshape(chunk, P * G, 2, tile, C)
+        # y-interp: (chunk, P*G, tile, C)
+        rows_mix = jnp.einsum(
+            "nrj,nrjtc->nrtc", wyc, tiles, precision=jax.lax.Precision.HIGHEST
+        )
+        # x-interp: (chunk, P*G rows, P*G cols, C). HIGHEST precision: the
+        # default matmul precision truncates f32 operands to bf16 on TPU,
+        # which would corrupt the interpolation weights.
+        vals = jnp.einsum(
+            "nqt,nrtc->nrqc", wxc, rows_mix,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        v = vals.reshape(chunk, P, G, P, G, C)
+        pooled = v.sum(axis=(2, 4)) / cnt[:, None, None, None]
+        return pooled.astype(dtype)  # (chunk, P, P, C)
+
+    out = jax.lax.map(
+        do_chunk,
+        (
+            starts.reshape(nc, chunk, P * G * 2),
+            Wx.reshape(nc, chunk, q, tile),
+            wy.reshape(nc, chunk, P * G, 2),
+            count.reshape(nc, chunk),
+        ),
+    )
+    out = out.reshape(n_pad, P, P, C)[:n]
+    return out.reshape(B, R, P, P, C)
+
+
+def _tiled_prep(
+    features, boxes, strides, output_size, sampling_ratio, max_grid,
+    min_level, canonical_box_size, canonical_level, tile,
+):
+    """Shared host-side math of the tiled/pallas RoIAlign: per-box slice
+    starts into the flattened level buffer, the one-hot x-interpolation
+    matrix, y-corner weights (grid/inside masks folded in), and sample
+    counts. Returns (flat, starts, Wx, wy, count, G, dtype)."""
+    B, R = boxes.shape[:2]
+    P = output_size
+    G = max_grid if sampling_ratio <= 0 else sampling_ratio
+    C = features[0].shape[-1]
+    dtype = features[0].dtype
+    if min_level is None:
+        min_level = int(math.log2(strides[0]))
+
+    level_shapes = [f.shape[1:3] for f in features]
+    sum_hw = sum(h * w for h, w in level_shapes)
+    flat = jnp.concatenate([f.reshape(B, -1, C) for f in features], axis=1)
+    flat = flat.reshape(B * sum_hw, C)
+    # padding rows so edge slices never read out of bounds
+    flat = jnp.pad(flat, ((0, tile), (0, 0)))
+
+    offsets = [0]
+    for h, w in level_shapes[:-1]:
+        offsets.append(offsets[-1] + h * w)
+    level_offsets = jnp.array(offsets, jnp.int32)
+    heights = jnp.array([h for h, _ in level_shapes], jnp.float32)
+    widths = jnp.array([w for _, w in level_shapes], jnp.float32)
+    scales = jnp.array([1.0 / s for s in strides], jnp.float32)
+
+    all_boxes = boxes.reshape(B * R, 4)
+    n = B * R
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+
+    if len(level_shapes) > 1:
+        levels = assign_boxes_to_levels(
+            all_boxes, min_level, min_level + len(level_shapes) - 1,
+            canonical_box_size, canonical_level,
+        )
+        # level bump: a box whose per-axis footprint on its canonical level
+        # exceeds the tile budget (extreme aspect ratio) moves to a coarser
+        # level so its samples fit — gentler than clamping sample columns.
+        # At the top level any in-image box fits (image/stride << tile).
+        budget = float(tile - 4)
+        max_side = jnp.maximum(
+            all_boxes[:, 2] - all_boxes[:, 0], all_boxes[:, 3] - all_boxes[:, 1]
+        )
+        fp = max_side / jnp.asarray(
+            [float(s) for s in strides], jnp.float32
+        )[levels]
+        need = jnp.ceil(jnp.log2(jnp.maximum(fp / budget, 1.0))).astype(jnp.int32)
+        levels = jnp.minimum(levels + need, len(level_shapes) - 1)
+    else:
+        levels = jnp.zeros((n,), jnp.int32)
+
+    scale = scales[levels]
+    h_l = heights[levels]
+    w_l = widths[levels]
+    off_l = level_offsets[levels] + img_idx * sum_hw
+
+    x0 = all_boxes[:, 0] * scale - 0.5
+    y0 = all_boxes[:, 1] * scale - 0.5
+    # degenerate (x1 < x0) boxes are treated as empty: the tile-window
+    # math assumes non-decreasing sample positions
+    x1 = jnp.maximum(all_boxes[:, 2] * scale - 0.5, x0)
+    y1 = jnp.maximum(all_boxes[:, 3] * scale - 0.5, y0)
+    bin_w = (x1 - x0) / P
+    bin_h = (y1 - y0) / P
+
+    if sampling_ratio > 0:
+        grid_w = jnp.full_like(bin_w, G)
+        grid_h = jnp.full_like(bin_h, G)
+    else:
+        grid_w = jnp.clip(jnp.ceil(bin_w), 1, G)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 1, G)
+    count = jnp.maximum(grid_h * grid_w, 1.0)  # (n,)
+
+    # sample positions (n, P, G) on each axis; the reference's per-grid
+    # center rule (cpp:39-45): pos = o0 + p*bin + (g+0.5)*bin/grid
+    p_ar = jnp.arange(P, dtype=jnp.float32)
+    g_ar = jnp.arange(G, dtype=jnp.float32)
+
+    def axis_samples(o0, bin_sz, grid):
+        pos = (
+            o0[:, None, None]
+            + p_ar[None, :, None] * bin_sz[:, None, None]
+            + (g_ar[None, None, :] + 0.5) * bin_sz[:, None, None] / grid[:, None, None]
+        )
+        valid = g_ar[None, None, :] < grid[:, None, None]  # (n, P, G)
+        return pos, valid
+
+    xs, x_valid = axis_samples(x0, bin_w, grid_w)  # (n, P, G)
+    ys, y_valid = axis_samples(y0, bin_h, grid_h)
+
+    # ---- per-axis bilinear corner math (edge rules of cpp:56-97) -------
+    def corners(v, size):
+        inside = (v >= -1.0) & (v <= size[:, None, None])
+        v = jnp.maximum(v, 0.0)
+        low = jnp.floor(v).astype(jnp.int32)
+        sz = size.astype(jnp.int32)
+        capped = low >= sz[:, None, None] - 1
+        low = jnp.where(capped, sz[:, None, None] - 1, low)
+        frac = jnp.where(capped, 0.0, v - low)
+        return low, frac, inside
+
+    x_low, lx, x_inside = corners(xs, w_l)  # (n, P, G)
+    y_low, ly, y_inside = corners(ys, h_l)
+
+    # ---- tile window per box ------------------------------------------
+    # window start: first sample's x_low; degenerate boxes clamp into it
+    x_start = x_low[:, 0, 0]  # (n,) minimal sample column
+    t_low = jnp.clip(x_low - x_start[:, None, None], 0, tile - 2)
+    wx0 = jnp.where(x_inside & x_valid, (1.0 - lx), 0.0)  # weight at t_low
+    wx1 = jnp.where(x_inside & x_valid, lx, 0.0)  # weight at t_low + 1
+
+    # one-hot x-interp matrix (n, P*G, tile)
+    t_iota = jnp.arange(tile, dtype=jnp.int32)
+    q = P * G
+    t_low_f = t_low.reshape(n, q)
+    wx0_f = wx0.reshape(n, q)
+    wx1_f = wx1.reshape(n, q)
+    Wx = (
+        wx0_f[..., None] * (t_iota[None, None, :] == t_low_f[..., None])
+        + wx1_f[..., None] * (t_iota[None, None, :] == (t_low_f + 1)[..., None])
+    ).astype(dtype)  # (n, q, tile)
+
+    # ---- slice starts: (n, P*G rows, 2 y-corners) ----------------------
+    h_i = h_l.astype(jnp.int32)
+    w_i = w_l.astype(jnp.int32)
+    y_high = jnp.minimum(y_low + 1, h_i[:, None, None] - 1)
+    rows = jnp.stack([y_low, y_high], axis=-1)  # (n, P, G, 2)
+    starts = (
+        off_l[:, None, None, None]
+        + rows * w_i[:, None, None, None]
+        + x_start[:, None, None, None]
+    ).reshape(n, P * G * 2)
+
+    wy = jnp.stack([1.0 - ly, ly], axis=-1)  # (n, P, G, 2)
+    wy = jnp.where((y_inside & y_valid)[..., None], wy, 0.0)
+    wy = wy.reshape(n, P * G, 2).astype(dtype)
+
+    return flat, starts, Wx, wy, count, G, dtype
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "strides",
+        "output_size",
+        "sampling_ratio",
+        "max_grid",
+        "min_level",
+        "canonical_box_size",
+        "canonical_level",
         "chunk",
     ),
 )
@@ -299,3 +544,165 @@ def batched_multilevel_roi_align(
     out = jax.lax.map(do_chunk, (pos_c, w_c, count_c))  # (nc, chunk, P, P, C)
     out = out.reshape(n_pad, P, P, C)[:n]
     return out.reshape(B, R, P, P, C)
+
+
+# ---------------------------------------------------------------------------
+# Pallas RoIAlign: double-buffered per-box DMA + on-chip interpolation.
+# ---------------------------------------------------------------------------
+
+
+def _pallas_roi_kernel(P, G, tile, C, rpg2, group):
+    """Kernel body factory. Per grid step (= ``group`` boxes):
+      1. start every box's 2*P*G contiguous slice DMAs up front,
+      2. per box: wait its DMAs (later boxes' copies overlap this box's
+         compute), y-mix the 2 corner rows of each sample row (VPU, scalar
+         weights from SMEM), x-interpolate via one (P, tile) x (tile, C)
+         MXU dot, normalize by the sample count.
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c2 = C // 128
+
+    def kernel(
+        starts_ref,  # SMEM (group, rpg2) int32 — row offsets into flat
+        wy_ref,      # SMEM (group, rpg2) f32: y weight per slice row
+        cnt_ref,     # SMEM (group, 1) f32
+        wx_ref,      # VMEM (group, P, tile) f32 (gx-summed one-hot interp)
+        flat_ref,    # HBM (N, c2, 128) — dynamic slicing of dim 0 is free
+                     # of Mosaic's tiling-alignment rules (the tiled dims
+                     # are the trailing two)
+        out_ref,     # VMEM (group, P, P, C)
+        tiles,       # VMEM scratch (group, rpg2, tile, c2, 128)
+        rows_sum,    # VMEM scratch (P, tile, c2, 128) f32
+        sems,        # DMA sems (group, rpg2)
+    ):
+        def dma(b, r):
+            return pltpu.make_async_copy(
+                flat_ref.at[pl.ds(starts_ref[b, r], tile)],
+                tiles.at[b, r],
+                sems.at[b, r],
+            )
+
+        for b in range(group):
+            for r in range(rpg2):
+                dma(b, r).start()
+
+        k_per = 2 * G
+        for b in range(group):
+            for r in range(rpg2):
+                dma(b, r).wait()
+            # y-mix: rows_sum[py] = sum_k wy[py*2G+k] * tiles[b, py*2G+k]
+            for py in range(P):
+                acc = None
+                for k in range(k_per):
+                    r = py * k_per + k
+                    term = tiles[b, r].astype(jnp.float32) * wy_ref[b, r]
+                    acc = term if acc is None else acc + term
+                rows_sum[py] = acc
+            # x-interp, one 2D MXU dot per (output row, 128-channel slab):
+            # (P, tile) x (tile, 128) -> (px, 128). HIGHEST keeps the f32
+            # interp weights from bf16 truncation.
+            inv = 1.0 / cnt_ref[b, 0]
+            for py in range(P):
+                for c in range(c2):
+                    v = jax.lax.dot_general(
+                        wx_ref[b],
+                        rows_sum[py, :, c],
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # (px, 128)
+                    out_ref[b, py, :, c * 128 : (c + 1) * 128] = (v * inv).astype(
+                        out_ref.dtype
+                    )
+
+    return kernel
+
+
+def batched_multilevel_roi_align_pallas(
+    features: Sequence[jnp.ndarray],  # per-level (B, H_l, W_l, C)
+    boxes: jnp.ndarray,  # (B, R, 4)
+    strides: Tuple[int, ...],
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    max_grid: int = 2,
+    min_level: int | None = None,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    tile: int = 48,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-level RoIAlign as a Pallas TPU kernel.
+
+    Same sampling semantics as ``batched_multilevel_roi_align_tiled``
+    (shared ``_tiled_prep``); the device side replaces XLA's point gather
+    (measured ~45 GB/s on v5e) with explicit double-buffered DMAs: each box
+    issues 2*P*G contiguous ``tile * C`` slice copies (24 KB each at
+    tile=48, C=256) into VMEM while the previous box computes, so the
+    pooling runs at streaming bandwidth with the bilinear math on the
+    VPU/MXU. Returns (B, R, P, P, C).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = boxes.shape[:2]
+    P = output_size
+    C = features[0].shape[-1]
+    # Channels must split into (C // 128, 128) slabs whose slab count is a
+    # multiple of the dtype's sublane packing (f32: 1, bf16: 2, int8: 4).
+    packing = max(1, 4 // features[0].dtype.itemsize)
+    c_mult = 128 * packing
+    c_pad = (-C) % c_mult
+    if c_pad:
+        features = [jnp.pad(f, ((0, 0),) * 3 + ((0, c_pad),)) for f in features]
+    flat, starts, Wx, wy, count, G, dtype = _tiled_prep(
+        features, boxes, strides, output_size, sampling_ratio, max_grid,
+        min_level, canonical_box_size, canonical_level, tile,
+    )
+    n = B * R
+    C = features[0].shape[-1]
+    rpg2 = P * G * 2
+    group = 8  # boxes per grid step (SMEM blocks need sublane % 8 == 0)
+
+    # fold the gx sum into the x-interp matrix: (n, P*G, tile) -> (n, P, tile)
+    WxB = Wx.reshape(n, P, G, tile).sum(axis=2).astype(jnp.float32)
+    # per-slice-row y weight, ordered (py, gy, corner) to match `starts`
+    wy_flat = wy.reshape(n, P * G, 2).reshape(n, rpg2).astype(jnp.float32)
+    cnt = count.reshape(n, 1).astype(jnp.float32)
+
+    n_pad = ((n + group - 1) // group) * group
+    if n_pad != n:
+        pad = n_pad - n
+        starts = jnp.pad(starts, ((0, pad), (0, 0)))
+        WxB = jnp.pad(WxB, ((0, pad), (0, 0), (0, 0)))
+        wy_flat = jnp.pad(wy_flat, ((0, pad), (0, 0)))
+        cnt = jnp.pad(cnt, ((0, pad), (0, 0)), constant_values=1.0)
+
+    kernel = _pallas_roi_kernel(P, G, tile, C, rpg2, group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[
+            pl.BlockSpec((group, rpg2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, rpg2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((group, rpg2, tile, C // 128, 128), dtype),
+            pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((group, rpg2)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, wy_flat, cnt, WxB, flat.reshape(-1, C // 128, 128))
+    out = out[:n].reshape(B, R, P, P, C)
+    return out[..., : C - c_pad] if c_pad else out

@@ -185,3 +185,59 @@ def test_multilevel_matches_single_level_choice():
     ref1 = roi_align_reference(feats[1], boxes[1], 1 / 8, 7, 2)
     np.testing.assert_allclose(got[0], ref0, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(got[1], ref1, rtol=1e-4, atol=1e-5)
+
+
+def test_tiled_matches_exact():
+    """The tiled slice-gather RoIAlign reproduces the point-gather kernel
+    bit-near-exactly for in-budget boxes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lvc_tpu.ops.roi_align import (
+        batched_multilevel_roi_align,
+        batched_multilevel_roi_align_tiled,
+    )
+
+    rng = np.random.RandomState(0)
+    B, C = 2, 16
+    strides = (4, 8, 16, 32)
+    H, W = 128, 160
+    feats = [jnp.asarray(rng.rand(B, H // s, W // s, C).astype(np.float32)) for s in strides]
+    R = 24
+    boxes = np.zeros((B, R, 4), np.float32)
+    for b in range(B):
+        for r in range(R):
+            x0, y0 = rng.rand(2) * 80
+            w, h = rng.rand(2) * 60 + 4
+            boxes[b, r] = [x0, y0, min(x0 + w, W - 1), min(y0 + h, H - 1)]
+    jb = jnp.asarray(boxes)
+    exact = batched_multilevel_roi_align(feats, jb, strides)
+    tiled = batched_multilevel_roi_align_tiled(feats, jb, strides)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(tiled), atol=1e-5)
+
+
+def test_pallas_matches_exact_interpret():
+    """The pallas DMA kernel (interpret mode on CPU) reproduces the exact
+    kernel. On real TPU hardware the same kernel pools an R-101-FPN batch
+    ~10x faster than the XLA point gather (see ops/roi_align.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lvc_tpu.ops.roi_align import (
+        batched_multilevel_roi_align,
+        batched_multilevel_roi_align_pallas,
+    )
+
+    rng = np.random.RandomState(1)
+    B, C = 1, 128
+    strides = (4, 8, 16, 32)
+    H, W = 64, 96
+    feats = [jnp.asarray(rng.rand(B, H // s, W // s, C).astype(np.float32)) for s in strides]
+    R = 9  # exercises group padding (group=8)
+    boxes = np.zeros((B, R, 4), np.float32)
+    for r in range(R):
+        x0, y0 = rng.rand(2) * 40
+        w, h = rng.rand(2) * 30 + 4
+        boxes[0, r] = [x0, y0, min(x0 + w, W - 1), min(y0 + h, H - 1)]
+    jb = jnp.asarray(boxes)
+    exact = batched_multilevel_roi_align(feats, jb, strides)
+    pal = batched_multilevel_roi_align_pallas(feats, jb, strides, tile=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(pal), atol=1e-5)
