@@ -24,9 +24,13 @@ from lvc_tpu.modeling.layers import Conv2d, max_pool_torch
 class BasicStem(nn.Module):
     out_channels: int = 64
     norm: str = "FrozenBN"
+    # exact space-to-depth stem conv (big MXU win on TPU); falls back to the
+    # plain conv for odd input sizes
+    space_to_depth: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s2d = self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         x = Conv2d(
             self.out_channels,
             kernel_size=7,
@@ -35,6 +39,7 @@ class BasicStem(nn.Module):
             use_bias=False,
             norm=self.norm,
             activation=nn.relu,
+            space_to_depth=s2d,
             name="conv1",
         )(x)
         x = max_pool_torch(x, kernel=3, stride=2, padding=1)

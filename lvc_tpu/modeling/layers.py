@@ -114,6 +114,58 @@ def get_norm(norm: str, features: int) -> Optional[nn.Module]:
     raise ValueError(f"Unknown norm: {norm}")
 
 
+class _KernelHolder(nn.Module):
+    """Owns a conv kernel param at the same path nn.Conv would use, for
+    layers that apply the kernel through a transformed computation."""
+
+    shape: Tuple[int, ...]
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", self.kernel_init, self.shape)
+
+
+def space_to_depth_conv(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
+    """7x7 stride-2 pad-3 conv computed as a 4x4 stride-1 conv on the 2x2
+    space-to-depth transform of the input — mathematically exact, and maps
+    far better onto the MXU (12 input channels instead of 3, quarter the
+    spatial positions). The standard TPU detection "conv0 space-to-depth"
+    trick; the stored parameter stays the plain (7, 7, Cin, F) kernel.
+
+    Derivation: with x' = pad(x, 3) and u = 2a + p,
+    y[i, j] = sum_{u,v} K[u, v] x'[2i+u, 2j+v]
+            = sum_{a,b,p,q} K8[2a+p, 2b+q] X[i+a, j+b, (p, q)]
+    where K8 zero-pads K to 8x8 and X is the 2x2 space-to-depth of x'.
+    Requires even input height/width (detector canvases are stride-padded).
+    """
+    B, H, W, Cin = x.shape
+    assert H % 2 == 0 and W % 2 == 0, "space-to-depth stem needs even H, W"
+    K, _, _, F = kernel.shape
+    assert K == 7
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+    Hp, Wp = H + 6, W + 6
+    X = (
+        xp.reshape(B, Hp // 2, 2, Wp // 2, 2, Cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hp // 2, Wp // 2, 4 * Cin)
+    )
+    k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8, 8, Cin, F)
+    k4 = (
+        k8.reshape(4, 2, 4, 2, Cin, F)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * Cin, F)
+    )
+    return jax.lax.conv_general_dilated(
+        X.astype(dtype),
+        k4.astype(dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
 class Conv2d(nn.Module):
     """Conv with torch-style explicit symmetric padding + optional norm and
     activation (mirrors d2's Conv2d wrapper, layers/wrappers.py)."""
@@ -128,9 +180,28 @@ class Conv2d(nn.Module):
     norm: str = ""
     activation: Optional[Callable] = None
     kernel_init: Optional[Callable] = None
+    # exact space-to-depth computation for 7x7/s2/p3 stems (see
+    # space_to_depth_conv); parameter layout identical to the plain conv
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.space_to_depth:
+            assert (
+                self.kernel_size == 7 and self.stride == 2 and self.padding == 3
+                and self.dilation == 1 and self.groups == 1 and not self.use_bias
+            ), "space_to_depth supports the 7x7/s2/p3 stem conv only"
+            init = self.kernel_init or nn.initializers.lecun_normal()
+            kernel = _KernelHolder(
+                (7, 7, x.shape[-1], self.features), init, name="conv"
+            )()
+            x = space_to_depth_conv(x, kernel, get_compute_dtype())
+            norm = get_norm(self.norm, self.features)
+            if norm is not None:
+                x = norm(x)
+            if self.activation is not None:
+                x = self.activation(x)
+            return x
         pad = self.padding
         kwargs = {}
         if self.kernel_init is not None:

@@ -1,0 +1,122 @@
+"""Segmentation mask structures.
+
+Counterpart of detectron2/structures/masks.py (PolygonMasks, BitMasks,
+polygons_to_bitmask). Host-side representation is numpy (rasterization is
+data-pipeline work); device-side masks are fixed-shape padded bitmask
+tensors consumed by the mask head (see modeling/roi_heads/mask_head.py for
+the crop/paste kernels).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO-style polygons ([x0, y0, x1, y1, ...] flat lists) to a
+    (height, width) bool mask."""
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for p in polygons:
+        pts = np.asarray(p, np.float64).reshape(-1, 2)
+        if len(pts) < 3:
+            continue
+        draw.polygon([tuple(xy) for xy in pts], outline=1, fill=1)
+    return np.asarray(img, bool)
+
+
+class PolygonMasks:
+    """A list (per instance) of polygon lists; lazily rasterizable."""
+
+    def __init__(self, polygons: List[List[np.ndarray]]):
+        self.polygons = [
+            [np.asarray(p, np.float64).reshape(-1) for p in per_inst]
+            for per_inst in polygons
+        ]
+
+    def __len__(self) -> int:
+        return len(self.polygons)
+
+    def __getitem__(self, idx):
+        if isinstance(idx, (int, np.integer)):
+            return PolygonMasks([self.polygons[idx]])
+        if isinstance(idx, slice):
+            return PolygonMasks(self.polygons[idx])
+        return PolygonMasks([self.polygons[int(i)] for i in np.asarray(idx).reshape(-1)])
+
+    def to_bitmasks(self, height: int, width: int) -> "BitMasks":
+        return BitMasks(
+            np.stack(
+                [polygons_to_bitmask(p, height, width) for p in self.polygons]
+            )
+            if self.polygons
+            else np.zeros((0, height, width), bool)
+        )
+
+    def area(self) -> np.ndarray:
+        """Shoelace area summed over each instance's polygons."""
+        out = []
+        for per_inst in self.polygons:
+            a = 0.0
+            for p in per_inst:
+                pts = p.reshape(-1, 2)
+                x, y = pts[:, 0], pts[:, 1]
+                a += 0.5 * abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
+            out.append(a)
+        return np.asarray(out)
+
+    def get_bounding_boxes(self) -> np.ndarray:
+        """(N, 4) XYXY tight boxes."""
+        boxes = np.zeros((len(self), 4), np.float32)
+        for i, per_inst in enumerate(self.polygons):
+            if not per_inst:
+                continue
+            pts = np.concatenate([p.reshape(-1, 2) for p in per_inst])
+            boxes[i] = [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]
+        return boxes
+
+
+class BitMasks:
+    """(N, H, W) bool masks."""
+
+    def __init__(self, tensor: np.ndarray):
+        self.tensor = np.asarray(tensor, bool)
+        assert self.tensor.ndim == 3
+
+    def __len__(self) -> int:
+        return self.tensor.shape[0]
+
+    def __getitem__(self, idx) -> "BitMasks":
+        t = self.tensor[idx]
+        return BitMasks(t[None] if t.ndim == 2 else t)
+
+    @property
+    def image_size(self) -> Tuple[int, int]:
+        return self.tensor.shape[1:]
+
+    def nonempty(self) -> np.ndarray:
+        return self.tensor.reshape(len(self), -1).any(axis=1)
+
+    def area(self) -> np.ndarray:
+        return self.tensor.reshape(len(self), -1).sum(axis=1).astype(np.float32)
+
+    def get_bounding_boxes(self) -> np.ndarray:
+        boxes = np.zeros((len(self), 4), np.float32)
+        for i, m in enumerate(self.tensor):
+            ys, xs = np.nonzero(m)
+            if len(ys):
+                boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+        return boxes
+
+    def pad_to(self, max_instances: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Fixed-shape (max_instances, H, W) tensor + validity mask — the
+        device-side contract."""
+        n = min(len(self), max_instances)
+        h, w = self.image_size
+        out = np.zeros((max_instances, h, w), bool)
+        out[:n] = self.tensor[:n]
+        valid = np.zeros((max_instances,), bool)
+        valid[:n] = True
+        return out, valid
