@@ -551,7 +551,7 @@ def batched_multilevel_roi_align(
 # ---------------------------------------------------------------------------
 
 
-def _pallas_roi_kernel(P, G, tile, C, rpg2, group):
+def _pallas_roi_kernel(P, G, tile, C, rpg2, group, depth=2):
     """Kernel body factory. Per grid step (= ``group`` boxes):
       1. start every box's 2*P*G contiguous slice DMAs up front,
       2. per box: wait its DMAs (later boxes' copies overlap this box's
@@ -567,6 +567,7 @@ def _pallas_roi_kernel(P, G, tile, C, rpg2, group):
 
     def kernel(
         starts_ref,  # SMEM (group, rpg2) int32 — row offsets into flat
+        starts_nxt,  # SMEM (group, rpg2) int32 — next grid step's offsets
         wy_ref,      # SMEM (group, rpg2) f32: y weight per slice row
         cnt_ref,     # SMEM (group, 1) f32
         wx_ref,      # VMEM (group, P, tile) f32 (gx-summed one-hot interp)
@@ -574,31 +575,54 @@ def _pallas_roi_kernel(P, G, tile, C, rpg2, group):
                      # of Mosaic's tiling-alignment rules (the tiled dims
                      # are the trailing two)
         out_ref,     # VMEM (group, P, P, C)
-        tiles,       # VMEM scratch (group, rpg2, tile, c2, 128)
+        tiles,       # VMEM scratch (2, group, rpg2, tile, c2, 128)
         rows_sum,    # VMEM scratch (P, tile, c2, 128) f32
-        sems,        # DMA sems (group, rpg2)
+        sems,        # DMA sems (2, group, rpg2)
     ):
-        def dma(b, r):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        slot = jax.lax.rem(i, depth) if depth > 1 else 0
+        nxt = jax.lax.rem(i + 1, depth) if depth > 1 else 0
+
+        def dma(s, b, r, st):
+            # the 2*P*G copies of one box share a semaphore (the sflag
+            # space holds only ~512 semaphores); each wait() consumes one
+            # completion signal, so waiting rpg2 times drains the box
             return pltpu.make_async_copy(
-                flat_ref.at[pl.ds(starts_ref[b, r], tile)],
-                tiles.at[b, r],
-                sems.at[b, r],
+                flat_ref.at[pl.ds(st[b, r], tile)],
+                tiles.at[s, b, r],
+                sems.at[s, b],
             )
 
-        for b in range(group):
-            for r in range(rpg2):
-                dma(b, r).start()
+        if depth > 1:
+            # warm-up: first step fetches its own group
+            @pl.when(i == 0)
+            def _():
+                for b in range(group):
+                    for r in range(rpg2):
+                        dma(0, b, r, starts_ref).start()
+
+            # prefetch the NEXT group while this one computes
+            @pl.when(i + 1 < nprog)
+            def _():
+                for b in range(group):
+                    for r in range(rpg2):
+                        dma(nxt, b, r, starts_nxt).start()
+        else:
+            for b in range(group):
+                for r in range(rpg2):
+                    dma(0, b, r, starts_ref).start()
 
         k_per = 2 * G
         for b in range(group):
             for r in range(rpg2):
-                dma(b, r).wait()
+                dma(slot, b, r, starts_ref).wait()
             # y-mix: rows_sum[py] = sum_k wy[py*2G+k] * tiles[b, py*2G+k]
             for py in range(P):
                 acc = None
                 for k in range(k_per):
                     r = py * k_per + k
-                    term = tiles[b, r].astype(jnp.float32) * wy_ref[b, r]
+                    term = tiles[slot, b, r].astype(jnp.float32) * wy_ref[b, r]
                     acc = term if acc is None else acc + term
                 rows_sum[py] = acc
             # x-interp, one 2D MXU dot per (output row, 128-channel slab):
@@ -681,12 +705,19 @@ def batched_multilevel_roi_align_pallas(
         wy_flat = jnp.pad(wy_flat, ((0, pad), (0, 0)))
         cnt = jnp.pad(cnt, ((0, pad), (0, 0)), constant_values=1.0)
 
-    kernel = _pallas_roi_kernel(P, G, tile, C, rpg2, group)
+    # one extra (duplicate) block so the i+1 prefetch index map stays in range
+    starts_ext = jnp.concatenate([starts, starts[-group:]], axis=0)
+
+    # cross-group double buffering for 2-byte dtypes; f32 tiles are 2x the
+    # bytes and two buffers would exceed VMEM, so it single-buffers
+    depth = 2 if jnp.dtype(dtype).itemsize <= 2 else 1
+    kernel = _pallas_roi_kernel(P, G, tile, C, rpg2, group, depth)
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // group,),
         in_specs=[
             pl.BlockSpec((group, rpg2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, rpg2), lambda i: (i + 1, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((group, rpg2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -697,12 +728,12 @@ def batched_multilevel_roi_align_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
         scratch_shapes=[
-            pltpu.VMEM((group, rpg2, tile, C // 128, 128), dtype),
+            pltpu.VMEM((depth, group, rpg2, tile, C // 128, 128), dtype),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((group, rpg2)),
+            pltpu.SemaphoreType.DMA((depth, group)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, wy_flat, cnt, WxB, flat.reshape(-1, C // 128, 128))
+    )(starts_ext, starts_ext, wy_flat, cnt, WxB, flat.reshape(-1, C // 128, 128))
     out = out[:n].reshape(B, R, P, P, C)
     return out[..., : C - c_pad] if c_pad else out
