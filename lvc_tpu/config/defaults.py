@@ -124,6 +124,9 @@ _C.MODEL.BACKBONE.NAME = "build_resnet_fpn_backbone"
 _C.MODEL.BACKBONE.FREEZE_AT = 2
 _C.MODEL.BACKBONE.FREEZE = False
 _C.MODEL.BACKBONE.FREEZE_BOTTOM_UP = False
+# rematerialize backbone blocks on backward (TPU addition: trades FLOPs
+# for HBM so larger train batches fit per chip)
+_C.MODEL.BACKBONE.REMAT = True
 _C.MODEL.BACKBONE.ANTI_ALIAS = False
 
 _C.MODEL.FPN = CN()

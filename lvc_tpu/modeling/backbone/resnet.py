@@ -58,7 +58,7 @@ class BottleneckBlock(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         stride_1x1, stride_3x3 = (
             (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
         )
@@ -123,7 +123,7 @@ class BottleneckBlockCLIP(nn.Module):
     has_shortcut: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         out = Conv2d(
             self.bottleneck_channels, kernel_size=1, use_bias=False,
             norm=self.norm, activation=nn.relu, name="conv1",
@@ -167,7 +167,7 @@ class DeformBottleneckBlock(nn.Module):
     deform_modulated: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         from lvc_tpu.modeling.layers import get_norm
         from lvc_tpu.ops.deform_conv import DeformConv
 
@@ -217,6 +217,10 @@ class ResNet(nn.Module):
     clip_block: bool = False  # MODEL.RESNETS.D: CLIP/ResNet-D bottleneck
     deform_on_per_stage: Sequence[bool] = (False, False, False, False)
     deform_modulated: bool = False
+    # rematerialize each block on the backward pass (jax.checkpoint):
+    # trades ~25% extra forward FLOPs for not storing per-block
+    # activations — the standard HBM lever for detector training
+    remat: bool = False
 
     @staticmethod
     def stage_blocks(depth: int) -> List[int]:
@@ -264,20 +268,24 @@ class ResNet(nn.Module):
                     name=f"{stage_name}.{b}",
                 )
                 if self.clip_block:
-                    block = BottleneckBlockCLIP(**common)
+                    cls = BottleneckBlockCLIP
+                    kwargs = {}
                 elif self.deform_on_per_stage[idx]:
-                    block = DeformBottleneckBlock(
+                    cls = DeformBottleneckBlock
+                    kwargs = dict(
                         stride_in_1x1=self.stride_in_1x1,
                         deform_modulated=self.deform_modulated,
-                        **common,
                     )
                 else:
-                    block = BottleneckBlock(
+                    cls = BottleneckBlock
+                    kwargs = dict(
                         stride_in_1x1=self.stride_in_1x1,
                         dropout=self.dropout,
-                        **common,
                     )
-                x = block(x, train=train)
+                if self.remat and train:
+                    cls = nn.remat(cls, static_argnums=(2,))
+                block = cls(**common, **kwargs)
+                x = block(x, train)
             if stage_name in self.out_features:
                 out[stage_name] = x
             in_channels = out_channels
@@ -316,5 +324,6 @@ def build_resnet(cfg) -> ResNet:
         clip_block=cfg.MODEL.RESNETS.D,
         deform_on_per_stage=tuple(cfg.MODEL.RESNETS.DEFORM_ON_PER_STAGE),
         deform_modulated=cfg.MODEL.RESNETS.DEFORM_MODULATED,
+        remat=cfg.MODEL.BACKBONE.REMAT,
         name="bottom_up",
     )

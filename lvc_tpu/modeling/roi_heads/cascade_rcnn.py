@@ -141,7 +141,7 @@ class CascadeROIHeads(StandardROIHeads):
         return jax.vmap(per_image)(boxes, gt_boxes, gt_classes, gt_valid)
 
     def _run_stage(self, features, boxes, stage: int, train: bool):
-        pooled = self.pool(features, boxes)
+        pooled = self.pool(features, boxes, train=train)
         B, R = pooled.shape[:2]
         x = pooled.reshape(B * R, *pooled.shape[2:])
         x = scale_gradient(x, 1.0 / self.num_stages)

@@ -56,7 +56,7 @@ class Res5ROIHeads(StandardROIHeads):
         ]
 
     def _head_features(self, features, boxes, train: bool):
-        pooled = self.pool(features, boxes)  # (B, R, P, P, C)
+        pooled = self.pool(features, boxes, train=train)  # (B, R, P, P, C)
         B, R = pooled.shape[:2]
         x = pooled.reshape(B * R, *pooled.shape[2:])
         for blk in self.res5:
@@ -217,7 +217,7 @@ class StandardROIHeadsCascadeBBox(StandardROIHeads):
             gt["boxes"], gt["classes"], gt["valid"], gt.get("ignores"),
         )
         B, S = sampled.gt_classes.shape
-        pooled = self.pool(features, sampled.boxes)
+        pooled = self.pool(features, sampled.boxes, train=True)
         x = pooled.reshape(B * S, *pooled.shape[2:])
         x = self.box_head(x, train=True)
         scores, deltas = self.box_predictor(x)

@@ -171,17 +171,23 @@ class StandardROIHeads(nn.Module):
         )
 
     # --------------------------------------------------------------- pooling
-    def pool(self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray) -> jnp.ndarray:
+    def pool(
+        self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
         """features: per-level (B, H, W, C); boxes (B, R, 4) ->
-        (B, R, P, P, C). Uses the tiled slice-gather RoIAlign (the point
-        gather formulation is ~10x slower on TPU; see ops/roi_align.py)."""
+        (B, R, P, P, C). Inference on TPU uses the pallas DMA RoIAlign
+        (~10x the XLA point gather); training uses the exact gather kernel
+        since the pallas call has no VJP (its backward would need
+        scatter-accumulation across overlapping boxes)."""
         feats = [features[f] for f in self.in_features]
         strides = tuple(self.strides[f] for f in self.in_features)
         impl_name = self.pooler_impl
         if impl_name == "auto":
             import jax
 
-            impl_name = "pallas" if jax.default_backend() == "tpu" else "exact"
+            impl_name = (
+                "pallas" if jax.default_backend() == "tpu" and not train else "exact"
+            )
         if impl_name == "pallas":
             from lvc_tpu.ops.roi_align import batched_multilevel_roi_align_pallas
 
@@ -225,7 +231,7 @@ class StandardROIHeads(nn.Module):
                 gt.get("ignores"),
             )
             B, S = sampled.gt_classes.shape
-            pooled = self.pool(features, sampled.boxes)  # (B, S, P, P, C)
+            pooled = self.pool(features, sampled.boxes, train=True)  # (B, S, P, P, C)
             x = pooled.reshape(B * S, *pooled.shape[2:])
             x = self.box_head(x, train=True)
             scores, deltas = self.box_predictor(x)
