@@ -85,3 +85,54 @@ class Box2BoxTransform:
             axis=-1,
         )
         return out.reshape(deltas.shape)
+
+
+class Box2BoxTransformRotated:
+    """Rotated-box regression by (dx, dy, dw, dh, da) deltas.
+
+    Counterpart of the reference's ``Box2BoxTransformRotated``
+    (detectron2/modeling/box_regression.py:114-221): dx/dy are axis-aligned
+    center offsets normalized by the source w/h (not box-frame offsets), and
+    da is the angle difference normalized to (-180, 180] degrees, regressed
+    in radians.
+    """
+
+    def __init__(self, weights: Sequence[float], scale_clamp: float = SCALE_CLAMP):
+        assert len(weights) == 5
+        self.weights = tuple(float(w) for w in weights)
+        self.scale_clamp = float(scale_clamp)
+
+    def get_deltas(self, src_boxes: jnp.ndarray, target_boxes: jnp.ndarray) -> jnp.ndarray:
+        """(..., 5) XYWHA src/target -> (..., 5) deltas."""
+        wx, wy, ww, wh, wa = self.weights
+        src_w = src_boxes[..., 2]
+        src_h = src_boxes[..., 3]
+        safe_w = jnp.where(src_w > 0, src_w, 1.0)
+        safe_h = jnp.where(src_h > 0, src_h, 1.0)
+        dx = wx * (target_boxes[..., 0] - src_boxes[..., 0]) / safe_w
+        dy = wy * (target_boxes[..., 1] - src_boxes[..., 1]) / safe_h
+        dw = ww * jnp.log(jnp.where(target_boxes[..., 2] > 0, target_boxes[..., 2], 1.0) / safe_w)
+        dh = wh * jnp.log(jnp.where(target_boxes[..., 3] > 0, target_boxes[..., 3], 1.0) / safe_h)
+        da = target_boxes[..., 4] - src_boxes[..., 4]
+        da = (da + 180.0) % 360.0 - 180.0  # normalize to (-180, 180]
+        da = da * (math.pi / 180.0) * wa
+        return jnp.stack([dx, dy, dw, dh, da], axis=-1)
+
+    def apply_deltas(self, deltas: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
+        """Apply (..., 5) deltas to (..., 5) XYWHA boxes (one box per delta,
+        matching the reference's rotated apply_deltas :184-221)."""
+        boxes = boxes.astype(deltas.dtype)
+        wx, wy, ww, wh, wa = self.weights
+        dx = deltas[..., 0] / wx
+        dy = deltas[..., 1] / wy
+        dw = jnp.minimum(deltas[..., 2] / ww, self.scale_clamp)
+        dh = jnp.minimum(deltas[..., 3] / wh, self.scale_clamp)
+        da = deltas[..., 4] / wa * (180.0 / math.pi)
+
+        pred_cx = dx * boxes[..., 2] + boxes[..., 0]
+        pred_cy = dy * boxes[..., 3] + boxes[..., 1]
+        pred_w = jnp.exp(dw) * boxes[..., 2]
+        pred_h = jnp.exp(dh) * boxes[..., 3]
+        pred_a = boxes[..., 4] + da
+        pred_a = (pred_a + 180.0) % 360.0 - 180.0
+        return jnp.stack([pred_cx, pred_cy, pred_w, pred_h, pred_a], axis=-1)

@@ -4,3 +4,8 @@ from lvc_tpu.ops.roi_align import (  # noqa: F401
     batched_multilevel_roi_align,
     multilevel_roi_align,
 )
+from lvc_tpu.ops.nms import (  # noqa: F401
+    batched_nms_rotated_mask,
+    nms_rotated_mask,
+)
+from lvc_tpu.ops.roi_align import roi_align_rotated  # noqa: F401

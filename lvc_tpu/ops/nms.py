@@ -28,26 +28,16 @@ def _pad_to_multiple(n: int, t: int) -> int:
     return ((n + t - 1) // t) * t
 
 
-@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
-def nms_mask(
+def _nms_mask_impl(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
-    tile: int = 128,
+    tile: int,
+    iou_fn,
 ) -> jnp.ndarray:
-    """Greedy NMS over a padded box set.
-
-    Args:
-        boxes: (N, 4) XYXY.
-        scores: (N,).
-        valid: (N,) bool; padding rows must be False.
-        iou_threshold: suppress boxes with IoU *strictly greater* than this
-            against a surviving higher-scored box (torchvision semantics).
-    Returns:
-        (N,) bool keep mask in the ORIGINAL input order.
-    """
-    n = boxes.shape[0]
+    """Greedy NMS core shared by the axis-aligned and rotated variants."""
+    n, box_dim = boxes.shape
     n_pad = _pad_to_multiple(max(n, tile), tile)
     if n_pad != n:
         boxes = jnp.pad(boxes, ((0, n_pad - n), (0, 0)))
@@ -67,9 +57,9 @@ def nms_mask(
 
     def outer(i, active):
         start = i * tile
-        tile_boxes = jax.lax.dynamic_slice(b, (start, 0), (tile, 4))
+        tile_boxes = jax.lax.dynamic_slice(b, (start, 0), (tile, box_dim))
         act_tile = jax.lax.dynamic_slice(active, (start,), (tile,))
-        iou_tt = box_ops.pairwise_iou(tile_boxes, tile_boxes)
+        iou_tt = iou_fn(tile_boxes, tile_boxes)
         sup_tt = (iou_tt > iou_threshold) & tri.T  # sup_tt[i, j]: row i can suppress col j (i < j)
 
         # Fixpoint: a box is suppressed iff some earlier SURVIVING box
@@ -88,7 +78,7 @@ def nms_mask(
 
         active = jax.lax.dynamic_update_slice(active, act_tile_new, (start,))
         # Vectorized suppression of all strictly-later boxes.
-        iou_tn = box_ops.pairwise_iou(tile_boxes, b)
+        iou_tn = iou_fn(tile_boxes, b)
         sup_cols = jnp.any((iou_tn > iou_threshold) & act_tile_new[:, None], axis=0)
         later = col_idx >= (start + tile)
         return active & ~(sup_cols & later)
@@ -98,6 +88,74 @@ def nms_mask(
     keep_sorted = active
     keep = jnp.zeros((n_pad,), dtype=bool).at[order].set(keep_sorted)
     return keep[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
+def nms_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    tile: int = 128,
+) -> jnp.ndarray:
+    """Greedy NMS over a padded box set.
+
+    Args:
+        boxes: (N, 4) XYXY.
+        scores: (N,).
+        valid: (N,) bool; padding rows must be False.
+        iou_threshold: suppress boxes with IoU *strictly greater* than this
+            against a surviving higher-scored box (torchvision semantics).
+    Returns:
+        (N,) bool keep mask in the ORIGINAL input order.
+    """
+    return _nms_mask_impl(
+        boxes, scores, valid, iou_threshold, tile, box_ops.pairwise_iou
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
+def nms_rotated_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    tile: int = 128,
+) -> jnp.ndarray:
+    """Greedy NMS over padded XYWHA rotated boxes.
+
+    Counterpart of the reference's ``nms_rotated`` CUDA/CPU kernel
+    (detectron2/layers/csrc/nms_rotated/, registered in vision.cpp:70-110);
+    same greedy semantics as :func:`nms_mask` with the polygon-clip IoU.
+    """
+    from lvc_tpu.structures import rotated_boxes as rbox_ops
+
+    return _nms_mask_impl(
+        boxes, scores, valid, iou_threshold, tile, rbox_ops.pairwise_iou_rotated
+    )
+
+
+def batched_nms_rotated_mask(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    idxs: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+) -> jnp.ndarray:
+    """Class-aware rotated NMS via the center-offset trick
+    (reference detectron2/layers/nms.py:60-107 ``batched_nms_rotated``)."""
+    # Offset centers only; w/h/angle keep their values so IoU within a class
+    # is unchanged and boxes of different classes never overlap.
+    cx, cy = boxes[..., 0], boxes[..., 1]
+    half_diag = jnp.hypot(boxes[..., 2], boxes[..., 3]) / 2.0
+    max_coord = jnp.max(
+        jnp.where(valid, jnp.maximum(cx, cy) + half_diag, 0.0)
+    ) + 1.0
+    offsets = idxs.astype(boxes.dtype) * max_coord
+    shifted = jnp.concatenate(
+        [boxes[..., :2] + offsets[..., None], boxes[..., 2:]], axis=-1
+    )
+    return nms_rotated_mask(shifted, scores, valid, iou_threshold)
 
 
 def batched_nms_mask(

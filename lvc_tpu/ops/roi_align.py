@@ -737,3 +737,97 @@ def batched_multilevel_roi_align_pallas(
     )(starts_ext, starts_ext, wy_flat, cnt, WxB, flat.reshape(-1, C // 128, 128))
     out = out[:n].reshape(B, R, P, P, C)
     return out[..., : C - c_pad] if c_pad else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_scale", "output_size", "sampling_ratio", "max_grid", "aligned"),
+)
+def roi_align_rotated(
+    feature: jnp.ndarray,
+    rois: jnp.ndarray,
+    spatial_scale: float,
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    max_grid: int = 4,
+    aligned: bool = True,
+) -> jnp.ndarray:
+    """RoIAlign over rotated XYWHA boxes on a single feature level.
+
+    Counterpart of the reference's ROIAlignRotated CUDA/CPU kernel
+    (detectron2/layers/csrc/ROIAlignRotated/, 1,080 LoC): the regular
+    RoIAlign sample lattice is generated in the box frame (origin at the box
+    center) and rotated by the box angle before the bilinear gather. Same
+    ``aligned`` half-pixel convention and adaptive ``ceil(bin)`` grid rule as
+    :func:`multilevel_roi_align`, realized as a static ``max_grid`` lattice
+    with per-box sample masking.
+
+    Args:
+        feature: (H, W, C) one level.
+        rois: (R, 5) ``(cx, cy, w, h, angle_deg)`` in input-image coords,
+            angle CCW (d2 convention).
+    Returns:
+        (R, P, P, C) pooled features.
+    """
+    H, W, C = feature.shape
+    dtype = feature.dtype
+    P = output_size
+    offset = 0.5 if aligned else 0.0
+
+    cx = rois[:, 0] * spatial_scale - offset
+    cy = rois[:, 1] * spatial_scale - offset
+    roi_w = rois[:, 2] * spatial_scale
+    roi_h = rois[:, 3] * spatial_scale
+    if not aligned:
+        roi_w = jnp.maximum(roi_w, 1.0)
+        roi_h = jnp.maximum(roi_h, 1.0)
+    theta = rois[:, 4] * (math.pi / 180.0)
+    cos_t = jnp.cos(theta)
+    sin_t = jnp.sin(theta)
+
+    bin_h = roi_h / P
+    bin_w = roi_w / P
+    if sampling_ratio > 0:
+        G = sampling_ratio
+        grid_h = jnp.full_like(bin_h, G)
+        grid_w = jnp.full_like(bin_w, G)
+    else:
+        G = max_grid
+        grid_h = jnp.clip(jnp.ceil(bin_h), 1, G)
+        grid_w = jnp.clip(jnp.ceil(bin_w), 1, G)
+    count = jnp.maximum(grid_h * grid_w, 1.0)
+
+    ph = jnp.arange(P, dtype=jnp.float32)
+    g = jnp.arange(G, dtype=jnp.float32)
+    # box-frame lattice, origin at the roi center (start = -roi_size/2)
+    yy = (
+        -roi_h[:, None, None] / 2.0
+        + ph[None, :, None] * bin_h[:, None, None]
+        + (g[None, None, :] + 0.5) * bin_h[:, None, None] / grid_h[:, None, None]
+    )  # (R, P, G)
+    xx = (
+        -roi_w[:, None, None] / 2.0
+        + ph[None, :, None] * bin_w[:, None, None]
+        + (g[None, None, :] + 0.5) * bin_w[:, None, None] / grid_w[:, None, None]
+    )
+    mask_y = g[None, None, :] < grid_h[:, None, None]
+    mask_x = g[None, None, :] < grid_w[:, None, None]
+
+    yy_f = yy[:, :, None, :, None]
+    xx_f = xx[:, None, :, None, :]
+    yy_f, xx_f = jnp.broadcast_arrays(yy_f, xx_f)  # (R, P, P, G, G)
+    active = mask_y[:, :, None, :, None] & mask_x[:, None, :, None, :]
+    active = jnp.broadcast_to(active, yy_f.shape)
+
+    c5 = cos_t[:, None, None, None, None]
+    s5 = sin_t[:, None, None, None, None]
+    # rotate the lattice into image coords around the roi center
+    y = yy_f * c5 - xx_f * s5 + cy[:, None, None, None, None]
+    x = yy_f * s5 + xx_f * c5 + cx[:, None, None, None, None]
+
+    pos, w, _ = _bilinear_params(y, x, float(H), float(W))
+    w = jnp.where(active[None], w, 0.0)
+    flat = feature.reshape(-1, C)
+    vals = flat[pos.reshape(-1)].reshape(pos.shape + (C,))
+    weighted = vals * w[..., None].astype(dtype)
+    return weighted.sum(axis=(0, 4, 5)) / count[:, None, None, None].astype(dtype)
