@@ -180,6 +180,7 @@ class Conv2d(nn.Module):
     norm: str = ""
     activation: Optional[Callable] = None
     kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
     # exact space-to-depth computation for 7x7/s2/p3 stems (see
     # space_to_depth_conv); parameter layout identical to the plain conv
     space_to_depth: bool = False
@@ -206,6 +207,8 @@ class Conv2d(nn.Module):
         kwargs = {}
         if self.kernel_init is not None:
             kwargs["kernel_init"] = self.kernel_init
+        if self.bias_init is not None:
+            kwargs["bias_init"] = self.bias_init
         x = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

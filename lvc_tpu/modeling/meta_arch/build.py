@@ -236,6 +236,103 @@ def _build_rpn_comp(cfg):
     )
 
 
+def _build_sem_seg_head(cfg, strides):
+    from lvc_tpu.modeling.meta_arch.semantic_seg import SemSegFPNHead
+
+    in_features = tuple(cfg.MODEL.SEM_SEG_HEAD.IN_FEATURES)
+    return SemSegFPNHead(
+        in_features=in_features,
+        strides={f: strides[f] for f in in_features},
+        num_classes=cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES,
+        convs_dim=cfg.MODEL.SEM_SEG_HEAD.CONVS_DIM,
+        common_stride=cfg.MODEL.SEM_SEG_HEAD.COMMON_STRIDE,
+        norm=cfg.MODEL.SEM_SEG_HEAD.NORM,
+        ignore_value=cfg.MODEL.SEM_SEG_HEAD.IGNORE_VALUE,
+        loss_weight=cfg.MODEL.SEM_SEG_HEAD.LOSS_WEIGHT,
+        name="sem_seg_head",
+    )
+
+
+@META_ARCH_REGISTRY.register(name="SemanticSegmentor")
+def _build_semantic_segmentor(cfg):
+    from lvc_tpu.modeling.meta_arch.semantic_seg import SemanticSegmentor
+
+    backbone, strides = build_backbone(cfg)
+    return SemanticSegmentor(
+        backbone=backbone,
+        sem_seg_head=_build_sem_seg_head(cfg, strides),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="PanopticFPN")
+def _build_panoptic_fpn(cfg):
+    from lvc_tpu.modeling.meta_arch.panoptic_fpn import PanopticFPN
+
+    backbone, strides = build_backbone(cfg)
+    return PanopticFPN(
+        backbone=backbone,
+        proposal_generator=build_rpn(cfg, strides),
+        roi_heads=build_roi_heads(cfg, strides),
+        sem_seg_head=_build_sem_seg_head(cfg, strides),
+        instance_loss_weight=cfg.MODEL.PANOPTIC_FPN.INSTANCE_LOSS_WEIGHT,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
+@META_ARCH_REGISTRY.register(name="RetinaNet")
+def _build_retinanet(cfg):
+    from lvc_tpu.modeling.backbone.fpn import FPN
+    from lvc_tpu.modeling.meta_arch.retinanet import RetinaNet
+
+    bottom_up = build_resnet(cfg)
+    backbone = FPN(
+        bottom_up=bottom_up,
+        in_features=tuple(cfg.MODEL.FPN.IN_FEATURES) or ("res3", "res4", "res5"),
+        out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
+        norm=cfg.MODEL.FPN.NORM,
+        fuse_type=cfg.MODEL.FPN.FUSE_TYPE,
+        top_block="p6p7",  # d2 build_retinanet_resnet_fpn_backbone (fpn.py:224-245)
+        name="backbone",
+    )
+    in_features = tuple(cfg.MODEL.RETINANET.IN_FEATURES)
+    strides = {f: 2 ** int(f[1:]) for f in in_features}  # "p3" -> 8, ... "p7" -> 128
+    sizes = [list(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES]
+    if len(sizes) != len(in_features):
+        # d2's RetinaNet yaml overrides SIZES with 3 scale octaves per level
+        # (stride*4 * 2^{0,1/3,2/3}); derive the same when unset.
+        sizes = [
+            [strides[f] * 4 * 2 ** (o / 3.0) for o in range(3)] for f in in_features
+        ]
+    return RetinaNet(
+        backbone=backbone,
+        in_features=in_features,
+        strides=strides,
+        num_classes=cfg.MODEL.RETINANET.NUM_CLASSES,
+        anchor_sizes=tuple(tuple(s) for s in sizes),
+        anchor_aspect_ratios=tuple(
+            tuple(a) for a in cfg.MODEL.ANCHOR_GENERATOR.ASPECT_RATIOS
+        ),
+        anchor_offset=cfg.MODEL.ANCHOR_GENERATOR.OFFSET,
+        num_convs=cfg.MODEL.RETINANET.NUM_CONVS,
+        prior_prob=cfg.MODEL.RETINANET.PRIOR_PROB,
+        iou_thresholds=tuple(cfg.MODEL.RETINANET.IOU_THRESHOLDS),
+        iou_labels=tuple(cfg.MODEL.RETINANET.IOU_LABELS),
+        focal_loss_alpha=cfg.MODEL.RETINANET.FOCAL_LOSS_ALPHA,
+        focal_loss_gamma=cfg.MODEL.RETINANET.FOCAL_LOSS_GAMMA,
+        smooth_l1_beta=cfg.MODEL.RETINANET.SMOOTH_L1_LOSS_BETA,
+        bbox_reg_weights=tuple(cfg.MODEL.RETINANET.BBOX_REG_WEIGHTS),
+        score_thresh_test=cfg.MODEL.RETINANET.SCORE_THRESH_TEST,
+        topk_candidates_test=cfg.MODEL.RETINANET.TOPK_CANDIDATES_TEST,
+        nms_thresh_test=cfg.MODEL.RETINANET.NMS_THRESH_TEST,
+        detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+    )
+
+
 @META_ARCH_REGISTRY.register(name="ProposalNetwork")
 def _build_proposal_network(cfg):
     backbone, strides = build_backbone(cfg)
