@@ -30,7 +30,10 @@ class BasicStem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        s2d = self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        # 12-channel input = loader-side space-to-depth (space_to_depth_host)
+        s2d = x.shape[-1] == 12 or (
+            self.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        )
         x = Conv2d(
             self.out_channels,
             kernel_size=7,

@@ -126,7 +126,40 @@ class _KernelHolder(nn.Module):
         return self.param("kernel", self.kernel_init, self.shape)
 
 
-def space_to_depth_conv(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarray:
+def space_to_depth_host(
+    img: "np.ndarray", pixel_mean, pixel_std
+) -> "np.ndarray":
+    """Host-side (numpy) input-pipeline half of the space-to-depth stem:
+    normalize, pad 3 px, 2x2 space-to-depth. Returns
+    ``((H+6)/2, (W+6)/2, 4*C)`` float32 with channel order (row parity,
+    col parity, C) — exactly what :func:`space_to_depth_conv` builds on
+    device. Moving this into the data loader removes ~8 ms/step of XLA
+    relayout (pad/reshape/copy on a lane=3 image tensor) from the device
+    hot path; the loader overlaps it with device compute. Works on (H, W, C)
+    or batched (B, H, W, C) arrays.
+    """
+    import numpy as np
+
+    batched = img.ndim == 4
+    x = np.asarray(img, np.float32)
+    x = (x - np.asarray(pixel_mean, np.float32)) / np.asarray(pixel_std, np.float32)
+    pad = ((0, 0), (3, 3), (3, 3), (0, 0)) if batched else ((3, 3), (3, 3), (0, 0))
+    x = np.pad(x, pad)
+    if not batched:
+        x = x[None]
+    B, Hp, Wp, C = x.shape
+    assert Hp % 2 == 0 and Wp % 2 == 0, "space_to_depth_host needs even H, W"
+    out = (
+        x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, Hp // 2, Wp // 2, 4 * C)
+    )
+    return out if batched else out[0]
+
+
+def space_to_depth_conv(
+    x: jnp.ndarray, kernel: jnp.ndarray, dtype, pre_transformed: bool = False
+) -> jnp.ndarray:
     """7x7 stride-2 pad-3 conv computed as a 4x4 stride-1 conv on the 2x2
     space-to-depth transform of the input — mathematically exact, and maps
     far better onto the MXU (12 input channels instead of 3, quarter the
@@ -139,17 +172,23 @@ def space_to_depth_conv(x: jnp.ndarray, kernel: jnp.ndarray, dtype) -> jnp.ndarr
     where K8 zero-pads K to 8x8 and X is the 2x2 space-to-depth of x'.
     Requires even input height/width (detector canvases are stride-padded).
     """
-    B, H, W, Cin = x.shape
-    assert H % 2 == 0 and W % 2 == 0, "space-to-depth stem needs even H, W"
-    K, _, _, F = kernel.shape
+    K, _, Cin, F = kernel.shape
     assert K == 7
-    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-    Hp, Wp = H + 6, W + 6
-    X = (
-        xp.reshape(B, Hp // 2, 2, Wp // 2, 2, Cin)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, Hp // 2, Wp // 2, 4 * Cin)
-    )
+    if pre_transformed:
+        # input already normalized+padded+space-to-depth'd by the loader
+        assert x.shape[-1] == 4 * Cin, (x.shape, kernel.shape)
+        X = x
+    else:
+        B, H, W, _ = x.shape
+        assert H % 2 == 0 and W % 2 == 0, "space-to-depth stem needs even H, W"
+        xp = jnp.pad(x.astype(dtype), ((0, 0), (3, 3), (3, 3), (0, 0)))
+        Hp, Wp = H + 6, W + 6
+        X = (
+            xp.reshape(B, Hp // 2, 2, Wp // 2, 2, Cin)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, Hp // 2, Wp // 2, 4 * Cin)
+        )
+    # kernel channel order must match the slice concat: (row par, col par, Cin)
     k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # (8, 8, Cin, F)
     k4 = (
         k8.reshape(4, 2, 4, 2, Cin, F)
@@ -193,10 +232,17 @@ class Conv2d(nn.Module):
                 and self.dilation == 1 and self.groups == 1 and not self.use_bias
             ), "space_to_depth supports the 7x7/s2/p3 stem conv only"
             init = self.kernel_init or nn.initializers.lecun_normal()
+            # a 12-channel input is the loader's pre-space-to-depth'd form of
+            # a 3-channel image (space_to_depth_host); the stored parameter
+            # stays the plain (7, 7, 3, F) kernel either way
+            pre = x.shape[-1] == 12
+            cin = x.shape[-1] // 4 if pre else x.shape[-1]
             kernel = _KernelHolder(
-                (7, 7, x.shape[-1], self.features), init, name="conv"
+                (7, 7, cin, self.features), init, name="conv"
             )()
-            x = space_to_depth_conv(x, kernel, get_compute_dtype())
+            x = space_to_depth_conv(
+                x, kernel, get_compute_dtype(), pre_transformed=pre
+            )
             norm = get_norm(self.norm, self.features)
             if norm is not None:
                 x = norm(x)

@@ -46,7 +46,12 @@ class GeneralizedRCNN(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        images = self.preprocess(batch["image"])
+        if "image_s2d" in batch:
+            # loader already normalized + padded + space-to-depth'd the image
+            # (layers.space_to_depth_host); skip device-side preprocessing
+            images = batch["image_s2d"]
+        else:
+            images = self.preprocess(batch["image"])
         features = self.backbone(images, train=train)
         image_sizes = batch["image_size"]
 
@@ -190,7 +195,12 @@ class GeneralizedRCNNRegOnly(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        images = self.preprocess(batch["image"])
+        if "image_s2d" in batch:
+            # loader already normalized + padded + space-to-depth'd the image
+            # (layers.space_to_depth_host); skip device-side preprocessing
+            images = batch["image_s2d"]
+        else:
+            images = self.preprocess(batch["image"])
         features = self.backbone(images, train=train)
         image_sizes = batch["image_size"]
 

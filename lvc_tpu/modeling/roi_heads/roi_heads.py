@@ -189,9 +189,11 @@ class StandardROIHeads(nn.Module):
                 "pallas" if jax.default_backend() == "tpu" and not train else "exact"
             )
         if impl_name == "pallas":
-            from lvc_tpu.ops.roi_align import batched_multilevel_roi_align_pallas
+            from lvc_tpu.ops.roi_align import (
+                batched_multilevel_roi_align_pallas_paired,
+            )
 
-            impl = batched_multilevel_roi_align_pallas
+            impl = batched_multilevel_roi_align_pallas_paired
         elif impl_name == "tiled":
             impl = batched_multilevel_roi_align_tiled
         else:

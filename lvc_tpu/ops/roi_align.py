@@ -831,3 +831,310 @@ def roi_align_rotated(
     vals = flat[pos.reshape(-1)].reshape(pos.shape + (C,))
     weighted = vals * w[..., None].astype(dtype)
     return weighted.sum(axis=(0, 4, 5)) / count[:, None, None, None].astype(dtype)
+
+
+def _tiled_prep_2d(
+    features, boxes, strides, output_size, sampling_ratio, max_grid,
+    min_level, canonical_box_size, canonical_level, tile,
+):
+    """Row-pair variant of :func:`_tiled_prep` for the paired-DMA kernel.
+
+    Levels are padded to a common width and laid out as one
+    ``(total_rows, W0, C)`` plane so the two bilinear corner rows of a
+    sample (y_low, y_low+1) are ADJACENT leading-dim indices — one strided
+    DMA fetches both. Returns (flat2d, row_starts (n, P*G), x_start (n,),
+    Wx (n, P*G, tile), wy (n, P*G, 2), count, G, dtype).
+    """
+    B, R = boxes.shape[:2]
+    P = output_size
+    G = max_grid if sampling_ratio <= 0 else sampling_ratio
+    C = features[0].shape[-1]
+    dtype = features[0].dtype
+    if min_level is None:
+        min_level = int(math.log2(strides[0]))
+
+    level_shapes = [f.shape[1:3] for f in features]
+    W0 = max(w for _, w in level_shapes)
+    sum_h = sum(h for h, _ in level_shapes)
+    # (B, sum_h, W0, C): per-image stacked level planes at common width
+    padded = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, W0 - f.shape[2]), (0, 0)))
+        for f in features
+    ]
+    flat2d = jnp.concatenate(padded, axis=1).reshape(B * sum_h, W0, C)
+    # +2 pad rows + tile pad cols: edge slices never read out of bounds
+    flat2d = jnp.pad(flat2d, ((0, 2), (0, tile), (0, 0)))
+
+    row_offsets = [0]
+    for h, _ in level_shapes[:-1]:
+        row_offsets.append(row_offsets[-1] + h)
+    level_row_offsets = jnp.array(row_offsets, jnp.int32)
+    heights = jnp.array([h for h, _ in level_shapes], jnp.float32)
+    widths = jnp.array([w for _, w in level_shapes], jnp.float32)
+    scales = jnp.array([1.0 / s for s in strides], jnp.float32)
+
+    all_boxes = boxes.reshape(B * R, 4)
+    n = B * R
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+
+    if len(level_shapes) > 1:
+        levels = assign_boxes_to_levels(
+            all_boxes, min_level, min_level + len(level_shapes) - 1,
+            canonical_box_size, canonical_level,
+        )
+        # same level-bump rule as _tiled_prep (footprint must fit the tile)
+        budget = float(tile - 4)
+        max_side = jnp.maximum(
+            all_boxes[:, 2] - all_boxes[:, 0], all_boxes[:, 3] - all_boxes[:, 1]
+        )
+        fp = max_side / jnp.asarray(
+            [float(s) for s in strides], jnp.float32
+        )[levels]
+        need = jnp.ceil(jnp.log2(jnp.maximum(fp / budget, 1.0))).astype(jnp.int32)
+        levels = jnp.minimum(levels + need, len(level_shapes) - 1)
+    else:
+        levels = jnp.zeros((n,), jnp.int32)
+
+    scale = scales[levels]
+    h_l = heights[levels]
+    w_l = widths[levels]
+    row_off = level_row_offsets[levels] + img_idx * sum_h
+
+    x0 = all_boxes[:, 0] * scale - 0.5
+    y0 = all_boxes[:, 1] * scale - 0.5
+    x1 = jnp.maximum(all_boxes[:, 2] * scale - 0.5, x0)
+    y1 = jnp.maximum(all_boxes[:, 3] * scale - 0.5, y0)
+    bin_w = (x1 - x0) / P
+    bin_h = (y1 - y0) / P
+
+    if sampling_ratio > 0:
+        grid_w = jnp.full_like(bin_w, G)
+        grid_h = jnp.full_like(bin_h, G)
+    else:
+        grid_w = jnp.clip(jnp.ceil(bin_w), 1, G)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 1, G)
+    count = jnp.maximum(grid_h * grid_w, 1.0)
+
+    p_ar = jnp.arange(P, dtype=jnp.float32)
+    g_ar = jnp.arange(G, dtype=jnp.float32)
+
+    def axis_samples(o0, bin_sz, grid):
+        pos = (
+            o0[:, None, None]
+            + p_ar[None, :, None] * bin_sz[:, None, None]
+            + (g_ar[None, None, :] + 0.5) * bin_sz[:, None, None] / grid[:, None, None]
+        )
+        valid = g_ar[None, None, :] < grid[:, None, None]
+        return pos, valid
+
+    xs, x_valid = axis_samples(x0, bin_w, grid_w)
+    ys, y_valid = axis_samples(y0, bin_h, grid_h)
+
+    def corners(v, size):
+        inside = (v >= -1.0) & (v <= size[:, None, None])
+        v = jnp.maximum(v, 0.0)
+        low = jnp.floor(v).astype(jnp.int32)
+        sz = size.astype(jnp.int32)
+        capped = low >= sz[:, None, None] - 1
+        low = jnp.where(capped, sz[:, None, None] - 1, low)
+        frac = jnp.where(capped, 0.0, v - low)
+        return low, frac, inside
+
+    x_low, lx, x_inside = corners(xs, w_l)
+    y_low, ly, y_inside = corners(ys, h_l)
+
+    x_start = x_low[:, 0, 0]
+    t_low = jnp.clip(x_low - x_start[:, None, None], 0, tile - 2)
+    wx0 = jnp.where(x_inside & x_valid, (1.0 - lx), 0.0)
+    wx1 = jnp.where(x_inside & x_valid, lx, 0.0)
+
+    t_iota = jnp.arange(tile, dtype=jnp.int32)
+    q = P * G
+    t_low_f = t_low.reshape(n, q)
+    Wx = (
+        wx0.reshape(n, q)[..., None] * (t_iota[None, None, :] == t_low_f[..., None])
+        + wx1.reshape(n, q)[..., None]
+        * (t_iota[None, None, :] == (t_low_f + 1)[..., None])
+    ).astype(dtype)
+
+    # row start of the 2-row corner pair; row y_low+1 may be a pad/next-level
+    # row, but its weight is 0 whenever the corner was capped or outside
+    row_starts = (row_off[:, None, None] + y_low).reshape(n, q)
+    wy = jnp.stack([1.0 - ly, ly], axis=-1)
+    wy = jnp.where((y_inside & y_valid)[..., None], wy, 0.0)
+    wy = wy.reshape(n, q, 2).astype(jnp.float32)
+
+    return flat2d, row_starts, x_start.astype(jnp.int32), Wx, wy, count, G, dtype
+
+
+def _pallas_roi_kernel_paired(P, G, tile, C, group, depth=2):
+    """Paired-DMA kernel body: one strided (2, tile) DMA per (box, py, gy)
+    corner pair — half the DMA descriptors of the row-wise kernel for the
+    same bytes, so the scalar core stops being the bottleneck."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c2 = C // 128
+    q = P * G
+
+    def kernel(
+        rows_ref,   # SMEM (group, q) int32 — first corner row index
+        rows_nxt,   # SMEM (group, q) int32 — next grid step's rows
+        xs_ref,     # SMEM (group, 1) int32 — per-box x window start
+        xs_nxt,     # SMEM (group, 1) int32
+        wy_ref,     # SMEM (group, 2*q) f32 — (corner0, corner1) weights
+        cnt_ref,    # SMEM (group, 1) f32
+        wx_ref,     # VMEM (group, P, tile)
+        flat_ref,   # ANY (rows, W0, c2, 128)
+        out_ref,    # VMEM (group, P, P, C)
+        tiles,      # VMEM scratch (depth, group, q, 2, tile, c2, 128)
+        rows_sum,   # VMEM scratch (P, tile, c2, 128) f32
+        sems,       # DMA sems (depth, group)
+    ):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        slot = jax.lax.rem(i, depth) if depth > 1 else 0
+        nxt = jax.lax.rem(i + 1, depth) if depth > 1 else 0
+
+        def dma(s, b, r, rows, xs):
+            return pltpu.make_async_copy(
+                flat_ref.at[pl.ds(rows[b, r], 2), pl.ds(xs[b, 0], tile)],
+                tiles.at[s, b, r],
+                sems.at[s, b],
+            )
+
+        if depth > 1:
+            @pl.when(i == 0)
+            def _():
+                for b in range(group):
+                    for r in range(q):
+                        dma(0, b, r, rows_ref, xs_ref).start()
+
+            @pl.when(i + 1 < nprog)
+            def _():
+                for b in range(group):
+                    for r in range(q):
+                        dma(nxt, b, r, rows_nxt, xs_nxt).start()
+        else:
+            for b in range(group):
+                for r in range(q):
+                    dma(0, b, r, rows_ref, xs_ref).start()
+
+        for b in range(group):
+            for r in range(q):
+                dma(slot, b, r, rows_ref, xs_ref).wait()
+            # y-mix the corner pairs: rows_sum[py] =
+            #   sum_g wy0 * tiles[.., py*G+g, 0] + wy1 * tiles[.., py*G+g, 1]
+            for py in range(P):
+                acc = None
+                for g in range(G):
+                    r = py * G + g
+                    t0 = tiles[slot, b, r, 0].astype(jnp.float32) * wy_ref[b, 2 * r]
+                    t1 = tiles[slot, b, r, 1].astype(jnp.float32) * wy_ref[b, 2 * r + 1]
+                    term = t0 + t1
+                    acc = term if acc is None else acc + term
+                rows_sum[py] = acc
+            inv = 1.0 / cnt_ref[b, 0]
+            for py in range(P):
+                for c in range(c2):
+                    v = jax.lax.dot_general(
+                        wx_ref[b],
+                        rows_sum[py, :, c],
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[b, py, :, c * 128 : (c + 1) * 128] = (v * inv).astype(
+                        out_ref.dtype
+                    )
+
+    return kernel
+
+
+def batched_multilevel_roi_align_pallas_paired(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Tuple[int, ...],
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    max_grid: int = 2,
+    min_level: int | None = None,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    tile: int = 48,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Paired-DMA Pallas RoIAlign (same semantics as the row-wise kernel;
+    P*G strided 2-row DMAs per box instead of 2*P*G 1-row DMAs)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = boxes.shape[:2]
+    P = output_size
+    C = features[0].shape[-1]
+    packing = max(1, 4 // features[0].dtype.itemsize)
+    c_mult = 128 * packing
+    c_pad = (-C) % c_mult
+    if c_pad:
+        features = [jnp.pad(f, ((0, 0),) * 3 + ((0, c_pad),)) for f in features]
+    flat2d, row_starts, x_start, Wx, wy, count, G, dtype = _tiled_prep_2d(
+        features, boxes, strides, output_size, sampling_ratio, max_grid,
+        min_level, canonical_box_size, canonical_level, tile,
+    )
+    n = B * R
+    C = features[0].shape[-1]
+    q = P * G
+    group = 8
+
+    WxB = Wx.reshape(n, P, G, tile).sum(axis=2).astype(jnp.float32)
+    wy_flat = wy.reshape(n, 2 * q)
+    cnt = count.reshape(n, 1).astype(jnp.float32)
+    xs = x_start.reshape(n, 1)
+
+    n_pad = ((n + group - 1) // group) * group
+    if n_pad != n:
+        pad = n_pad - n
+        row_starts = jnp.pad(row_starts, ((0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad), (0, 0)))
+        WxB = jnp.pad(WxB, ((0, pad), (0, 0), (0, 0)))
+        wy_flat = jnp.pad(wy_flat, ((0, pad), (0, 0)))
+        cnt = jnp.pad(cnt, ((0, pad), (0, 0)), constant_values=1.0)
+
+    rows_ext = jnp.concatenate([row_starts, row_starts[-group:]], axis=0)
+    xs_ext = jnp.concatenate([xs, xs[-group:]], axis=0)
+
+    depth = 2 if jnp.dtype(dtype).itemsize <= 2 else 1
+    kernel = _pallas_roi_kernel_paired(P, G, tile, C, group, depth)
+    W0 = flat2d.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[
+            pl.BlockSpec((group, q), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, q), lambda i: (i + 1, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i + 1, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 2 * q), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((depth, group, q, 2, tile, C // 128, 128), dtype),
+            pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth, group)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        rows_ext, rows_ext, xs_ext, xs_ext, wy_flat, cnt, WxB,
+        flat2d.reshape(flat2d.shape[0], W0, C // 128, 128),
+    )
+    out = out[:n].reshape(B, R, P, P, C)
+    return out[..., : C - c_pad] if c_pad else out

@@ -32,7 +32,9 @@ def test_train_step_overfits_single_batch():
     cfg.SOLVER.STEPS = (100000,)
 
     model = build_model(cfg)
-    batch = g._make_batch(B=1, H=128, W=128, train=True, seed=3)
+    # s2d=False: this test overrides PIXEL_STD, but the graft-entry s2d key
+    # bakes in the default normalization
+    batch = g._make_batch(B=1, H=128, W=128, train=True, seed=3, s2d=False)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
         batch,
