@@ -207,6 +207,10 @@ class ResNet(nn.Module):
     """Returns a dict of stage outputs {"res2": ..., ..., "res5": ...}
     restricted to ``out_features``."""
 
+    # the BasicStem consumes loader-side space-to-depth input (12-channel
+    # image_s2d batches); non-ResNet backbones (Swin, ViT) do not
+    supports_s2d_input = True
+
     depth: int = 50
     num_groups: int = 1
     width_per_group: int = 64

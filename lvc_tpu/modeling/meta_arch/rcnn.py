@@ -46,7 +46,8 @@ class GeneralizedRCNN(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        if "image_s2d" in batch:
+        backbone_core = getattr(self.backbone, "bottom_up", self.backbone)
+        if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):
             # loader already normalized + padded + space-to-depth'd the image
             # (layers.space_to_depth_host); skip device-side preprocessing
             images = batch["image_s2d"]
@@ -195,7 +196,8 @@ class GeneralizedRCNNRegOnly(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        if "image_s2d" in batch:
+        backbone_core = getattr(self.backbone, "bottom_up", self.backbone)
+        if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):
             # loader already normalized + padded + space-to-depth'd the image
             # (layers.space_to_depth_host); skip device-side preprocessing
             images = batch["image_s2d"]
