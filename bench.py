@@ -16,7 +16,7 @@ import numpy as np
 # kernel stack improves; established in round 1.
 REFERENCE_IMAGES_PER_SEC = 17.0
 
-BATCH = 8
+BATCH = 16
 HEIGHT, WIDTH = 832, 1344
 WARMUP = 3
 ITERS = 10
@@ -33,6 +33,9 @@ def main():
     # serving path: conv/dense compute in bf16 (MXU native rate), box
     # decode/NMS in f32 — see lvc_tpu/modeling/layers.py
     cfg.MODEL.DTYPE = "bfloat16"
+    # band-DMA RoIAlign serving mode (large/high-AR boxes pool one FPN level
+    # coarser — see ops/roi_align.py _tiled_prep_band)
+    cfg.MODEL.ROI_HEADS.POOLER_IMPL = "pallas_fast"
     model = build_model(cfg)
     batch = g._make_batch(B=BATCH, H=HEIGHT, W=WIDTH)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)

@@ -186,6 +186,8 @@ _C.MODEL.RPN.PRE_NMS_TOPK_TEST = 6000
 _C.MODEL.RPN.POST_NMS_TOPK_TRAIN = 2000
 _C.MODEL.RPN.POST_NMS_TOPK_TEST = 1000
 _C.MODEL.RPN.NMS_THRESH = 0.7
+# TPU serving: approximate per-level pre-NMS top-k (see rpn.py)
+_C.MODEL.RPN.APPROX_TOPK = False
 
 # Random Box Generator (UBBR proposal source; lvc defaults.py:101-104)
 _C.MODEL.RBG = CN()
@@ -250,6 +252,11 @@ _C.MODEL.ROI_HEADS.FREEZE_FEAT = False
 _C.MODEL.ROI_HEADS.REG_OFF = False
 _C.MODEL.ROI_HEADS.FREEZE_BBOX_PRED = False
 _C.MODEL.ROI_HEADS.IGNORE_REG = False
+# RoIAlign implementation: "auto" (pallas on TPU inference, exact gather
+# elsewhere) | "pallas" (paired-DMA, reference-exact) | "pallas_fast"
+# (band-DMA serving mode; large/high-AR boxes pool one level coarser) |
+# "tiled" | "exact"
+_C.MODEL.ROI_HEADS.POOLER_IMPL = "auto"
 # TFA/LVC output layer selection + cosine scale (lvc defaults.py:95-97)
 _C.MODEL.ROI_HEADS.OUTPUT_LAYER = "FastRCNNOutputLayers"
 _C.MODEL.ROI_HEADS.COSINE_SCALE = 20.0

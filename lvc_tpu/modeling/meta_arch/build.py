@@ -51,6 +51,7 @@ def build_rpn(cfg, strides):
         post_nms_topk_test=cfg.MODEL.RPN.POST_NMS_TOPK_TEST,
         nms_thresh=cfg.MODEL.RPN.NMS_THRESH,
         min_box_size=float(cfg.MODEL.PROPOSAL_GENERATOR.MIN_SIZE),
+        approx_topk=cfg.MODEL.RPN.APPROX_TOPK,
         name="proposal_generator",
     )
 
@@ -149,6 +150,7 @@ def _roi_heads_kwargs(cfg, strides):
         nms_thresh_test=cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST,
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         debug=cfg.DEBUG,
+        pooler_impl=cfg.MODEL.ROI_HEADS.POOLER_IMPL,
         name="roi_heads",
     )
 

@@ -188,12 +188,22 @@ class StandardROIHeads(nn.Module):
             impl_name = (
                 "pallas" if jax.default_backend() == "tpu" and not train else "exact"
             )
+        elif train and impl_name.startswith("pallas"):
+            # pallas pooling is inference-only (no VJP); training always
+            # takes the differentiable gather
+            impl_name = "exact"
         if impl_name == "pallas":
             from lvc_tpu.ops.roi_align import (
                 batched_multilevel_roi_align_pallas_paired,
             )
 
             impl = batched_multilevel_roi_align_pallas_paired
+        elif impl_name == "pallas_fast":
+            from lvc_tpu.ops.roi_align import (
+                batched_multilevel_roi_align_pallas_fast,
+            )
+
+            impl = batched_multilevel_roi_align_pallas_fast
         elif impl_name == "tiled":
             impl = batched_multilevel_roi_align_tiled
         else:

@@ -1138,3 +1138,315 @@ def batched_multilevel_roi_align_pallas_paired(
     )
     out = out[:n].reshape(B, R, P, P, C)
     return out[..., : C - c_pad] if c_pad else out
+
+
+def _tiled_prep_band(
+    features, boxes, strides, output_size, sampling_ratio, max_grid,
+    min_level, canonical_box_size, canonical_level, tile,
+):
+    """Band variant of :func:`_tiled_prep_2d` for the serving "fast" kernel.
+
+    The level-fit budget is ``tile - 4`` on BOTH axes (vs the x axis only in
+    the exact kernels), which caps ``bin <= (tile-4)/P`` after the level
+    bump. With tile=32 that means bin <= 4, so ALL of one output row's
+    sample rows (both gy grid points x both bilinear corners) live within a
+    4-row band starting at the first corner row — one strided (4, tile) DMA
+    per (box, py). Boxes with footprint in (28, 44] pool one level coarser
+    than the reference's sqrt-area rule; this is the only semantic deviation
+    (an opt-in serving trade, pooler_impl="pallas_fast").
+
+    Returns (flat2d, band_starts (n, P), x_start (n,), Wx (n, P*G, tile),
+    Wy4 (n, P, 4), count, G, dtype).
+    """
+    B, R = boxes.shape[:2]
+    P = output_size
+    G = max_grid if sampling_ratio <= 0 else sampling_ratio
+    C = features[0].shape[-1]
+    dtype = features[0].dtype
+    if min_level is None:
+        min_level = int(math.log2(strides[0]))
+
+    level_shapes = [f.shape[1:3] for f in features]
+    W0 = max(w for _, w in level_shapes)
+    sum_h = sum(h for h, _ in level_shapes)
+    padded = [
+        jnp.pad(f, ((0, 0), (0, 0), (0, W0 - f.shape[2]), (0, 0)))
+        for f in features
+    ]
+    flat2d = jnp.concatenate(padded, axis=1).reshape(B * sum_h, W0, C)
+    flat2d = jnp.pad(flat2d, ((0, 4), (0, tile), (0, 0)))
+
+    row_offsets = [0]
+    for h, _ in level_shapes[:-1]:
+        row_offsets.append(row_offsets[-1] + h)
+    level_row_offsets = jnp.array(row_offsets, jnp.int32)
+    heights = jnp.array([h for h, _ in level_shapes], jnp.float32)
+    widths = jnp.array([w for _, w in level_shapes], jnp.float32)
+    scales = jnp.array([1.0 / s for s in strides], jnp.float32)
+
+    all_boxes = boxes.reshape(B * R, 4)
+    n = B * R
+    img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), R)
+
+    if len(level_shapes) > 1:
+        levels = assign_boxes_to_levels(
+            all_boxes, min_level, min_level + len(level_shapes) - 1,
+            canonical_box_size, canonical_level,
+        )
+        budget = float(tile - 4)
+        max_side = jnp.maximum(
+            all_boxes[:, 2] - all_boxes[:, 0], all_boxes[:, 3] - all_boxes[:, 1]
+        )
+        fp = max_side / jnp.asarray(
+            [float(s) for s in strides], jnp.float32
+        )[levels]
+        need = jnp.ceil(jnp.log2(jnp.maximum(fp / budget, 1.0))).astype(jnp.int32)
+        levels = jnp.minimum(levels + need, len(level_shapes) - 1)
+    else:
+        levels = jnp.zeros((n,), jnp.int32)
+
+    scale = scales[levels]
+    h_l = heights[levels]
+    w_l = widths[levels]
+    row_off = level_row_offsets[levels] + img_idx * sum_h
+
+    x0 = all_boxes[:, 0] * scale - 0.5
+    y0 = all_boxes[:, 1] * scale - 0.5
+    x1 = jnp.maximum(all_boxes[:, 2] * scale - 0.5, x0)
+    y1 = jnp.maximum(all_boxes[:, 3] * scale - 0.5, y0)
+    bin_w = (x1 - x0) / P
+    bin_h = (y1 - y0) / P
+
+    if sampling_ratio > 0:
+        grid_w = jnp.full_like(bin_w, G)
+        grid_h = jnp.full_like(bin_h, G)
+    else:
+        grid_w = jnp.clip(jnp.ceil(bin_w), 1, G)
+        grid_h = jnp.clip(jnp.ceil(bin_h), 1, G)
+    count = jnp.maximum(grid_h * grid_w, 1.0)
+
+    p_ar = jnp.arange(P, dtype=jnp.float32)
+    g_ar = jnp.arange(G, dtype=jnp.float32)
+
+    def axis_samples(o0, bin_sz, grid):
+        pos = (
+            o0[:, None, None]
+            + p_ar[None, :, None] * bin_sz[:, None, None]
+            + (g_ar[None, None, :] + 0.5) * bin_sz[:, None, None] / grid[:, None, None]
+        )
+        valid = g_ar[None, None, :] < grid[:, None, None]
+        return pos, valid
+
+    xs, x_valid = axis_samples(x0, bin_w, grid_w)
+    ys, y_valid = axis_samples(y0, bin_h, grid_h)
+
+    def corners(v, size):
+        inside = (v >= -1.0) & (v <= size[:, None, None])
+        v = jnp.maximum(v, 0.0)
+        low = jnp.floor(v).astype(jnp.int32)
+        sz = size.astype(jnp.int32)
+        capped = low >= sz[:, None, None] - 1
+        low = jnp.where(capped, sz[:, None, None] - 1, low)
+        frac = jnp.where(capped, 0.0, v - low)
+        return low, frac, inside
+
+    x_low, lx, x_inside = corners(xs, w_l)
+    y_low, ly, y_inside = corners(ys, h_l)
+
+    x_start = x_low[:, 0, 0]
+    t_low = jnp.clip(x_low - x_start[:, None, None], 0, tile - 2)
+    wx0 = jnp.where(x_inside & x_valid, (1.0 - lx), 0.0)
+    wx1 = jnp.where(x_inside & x_valid, lx, 0.0)
+    t_iota = jnp.arange(tile, dtype=jnp.int32)
+    q = P * G
+    t_low_f = t_low.reshape(n, q)
+    Wx = (
+        wx0.reshape(n, q)[..., None] * (t_iota[None, None, :] == t_low_f[..., None])
+        + wx1.reshape(n, q)[..., None]
+        * (t_iota[None, None, :] == (t_low_f + 1)[..., None])
+    ).astype(dtype)
+
+    # 4-row band per output row: starts at the gy=0 corner row; one-hot
+    # scatter of the 2G corner weights over the 4 band slots
+    band0 = y_low[:, :, 0]  # (n, P)
+    d = jnp.clip(y_low - band0[:, :, None], 0, 2)  # (n, P, G) in [0, 2]
+    wy0 = jnp.where(y_inside & y_valid, 1.0 - ly, 0.0)  # weight at d
+    wy1 = jnp.where(y_inside & y_valid, ly, 0.0)  # weight at d + 1
+    rb_iota = jnp.arange(4, dtype=jnp.int32)
+    Wy4 = (
+        (wy0[..., None] * (rb_iota[None, None, None, :] == d[..., None])).sum(2)
+        + (wy1[..., None] * (rb_iota[None, None, None, :] == (d + 1)[..., None])).sum(2)
+    ).astype(jnp.float32)  # (n, P, 4)
+
+    band_starts = row_off[:, None] + band0  # (n, P)
+    return flat2d, band_starts, x_start.astype(jnp.int32), Wx, Wy4, count, G, dtype
+
+
+def _pallas_roi_kernel_band(P, G, tile, C, group, depth=2):
+    """Band kernel body: one (4, tile) strided DMA per (box, output row)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c2 = C // 128
+
+    def kernel(
+        rows_ref,   # SMEM (group, P) int32 band starts
+        rows_nxt,   # SMEM (group, P)
+        xs_ref,     # SMEM (group, 1) int32
+        xs_nxt,     # SMEM (group, 1)
+        wy_ref,     # SMEM (group, P * 4) f32 band-row weights
+        cnt_ref,    # SMEM (group, 1) f32
+        wx_ref,     # VMEM (group, P, tile)
+        flat_ref,   # ANY (rows, W0, c2, 128)
+        out_ref,    # VMEM (group, P, P, C)
+        tiles,      # VMEM scratch (depth, group, P, 4, tile, c2, 128)
+        rows_sum,   # VMEM scratch (P, tile, c2, 128) f32
+        sems,       # DMA sems (depth, group)
+    ):
+        i = pl.program_id(0)
+        nprog = pl.num_programs(0)
+        slot = jax.lax.rem(i, depth) if depth > 1 else 0
+        nxt = jax.lax.rem(i + 1, depth) if depth > 1 else 0
+
+        def dma(s, b, py, rows, xs):
+            return pltpu.make_async_copy(
+                flat_ref.at[pl.ds(rows[b, py], 4), pl.ds(xs[b, 0], tile)],
+                tiles.at[s, b, py],
+                sems.at[s, b],
+            )
+
+        if depth > 1:
+            @pl.when(i == 0)
+            def _():
+                for b in range(group):
+                    for py in range(P):
+                        dma(0, b, py, rows_ref, xs_ref).start()
+
+            @pl.when(i + 1 < nprog)
+            def _():
+                for b in range(group):
+                    for py in range(P):
+                        dma(nxt, b, py, rows_nxt, xs_nxt).start()
+        else:
+            for b in range(group):
+                for py in range(P):
+                    dma(0, b, py, rows_ref, xs_ref).start()
+
+        for b in range(group):
+            for py in range(P):
+                dma(slot, b, py, rows_ref, xs_ref).wait()
+            for py in range(P):
+                acc = None
+                for rb in range(4):
+                    term = tiles[slot, b, py, rb].astype(jnp.float32) * wy_ref[
+                        b, py * 4 + rb
+                    ]
+                    acc = term if acc is None else acc + term
+                rows_sum[py] = acc
+            inv = 1.0 / cnt_ref[b, 0]
+            for py in range(P):
+                for c in range(c2):
+                    v = jax.lax.dot_general(
+                        wx_ref[b],
+                        rows_sum[py, :, c],
+                        (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )
+                    out_ref[b, py, :, c * 128 : (c + 1) * 128] = (v * inv).astype(
+                        out_ref.dtype
+                    )
+
+    return kernel
+
+
+def batched_multilevel_roi_align_pallas_fast(
+    features: Sequence[jnp.ndarray],
+    boxes: jnp.ndarray,
+    strides: Tuple[int, ...],
+    output_size: int = 7,
+    sampling_ratio: int = 0,
+    max_grid: int = 2,
+    min_level: int | None = None,
+    canonical_box_size: int = 224,
+    canonical_level: int = 4,
+    tile: int = 32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving-mode Pallas RoIAlign: P band DMAs per box at tile=32.
+
+    ~2.5x fewer DMA descriptors and ~1.5x fewer bytes than the paired
+    kernel; boxes whose footprint exceeds ``tile - 4`` on either axis pool
+    one FPN level coarser than the reference rule (see _tiled_prep_band).
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, R = boxes.shape[:2]
+    P = output_size
+    C = features[0].shape[-1]
+    packing = max(1, 4 // features[0].dtype.itemsize)
+    c_mult = 128 * packing
+    c_pad = (-C) % c_mult
+    if c_pad:
+        features = [jnp.pad(f, ((0, 0),) * 3 + ((0, c_pad),)) for f in features]
+    flat2d, band_starts, x_start, Wx, Wy4, count, G, dtype = _tiled_prep_band(
+        features, boxes, strides, output_size, sampling_ratio, max_grid,
+        min_level, canonical_box_size, canonical_level, tile,
+    )
+    n = B * R
+    C = features[0].shape[-1]
+    group = 8
+
+    WxB = Wx.reshape(n, P, G, tile).sum(axis=2).astype(jnp.float32)
+    wy_flat = Wy4.reshape(n, P * 4)
+    cnt = count.reshape(n, 1).astype(jnp.float32)
+    xs = x_start.reshape(n, 1)
+
+    n_pad = ((n + group - 1) // group) * group
+    if n_pad != n:
+        pad = n_pad - n
+        band_starts = jnp.pad(band_starts, ((0, pad), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad), (0, 0)))
+        WxB = jnp.pad(WxB, ((0, pad), (0, 0), (0, 0)))
+        wy_flat = jnp.pad(wy_flat, ((0, pad), (0, 0)))
+        cnt = jnp.pad(cnt, ((0, pad), (0, 0)), constant_values=1.0)
+
+    rows_ext = jnp.concatenate([band_starts, band_starts[-group:]], axis=0)
+    xs_ext = jnp.concatenate([xs, xs[-group:]], axis=0)
+
+    depth = 2 if jnp.dtype(dtype).itemsize <= 2 else 1
+    kernel = _pallas_roi_kernel_band(P, G, tile, C, group, depth)
+    W0 = flat2d.shape[1]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_pad // group,),
+        in_specs=[
+            pl.BlockSpec((group, P), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, P), lambda i: (i + 1, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i + 1, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, P * 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((depth, group, P, 4, tile, C // 128, 128), dtype),
+            pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth, group)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        rows_ext, rows_ext, xs_ext, xs_ext, wy_flat, cnt, WxB,
+        flat2d.reshape(flat2d.shape[0], W0, C // 128, 128),
+    )
+    out = out[:n].reshape(B, R, P, P, C)
+    return out[..., : C - c_pad] if c_pad else out

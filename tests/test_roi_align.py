@@ -241,3 +241,55 @@ def test_pallas_matches_exact_interpret():
     exact = batched_multilevel_roi_align(feats, jb, strides)
     pal = batched_multilevel_roi_align_pallas(feats, jb, strides, tile=32, interpret=True)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(pal), atol=1e-5)
+
+
+def test_pallas_paired_matches_exact_interpret():
+    """Paired-DMA kernel (serving default) vs the exact gather."""
+    import jax.numpy as jnp
+    from lvc_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(11)
+    B, R, C = 1, 16, 256
+    feats = []
+    h, w = 32, 48
+    for _ in range(5):
+        feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    strides = (4, 8, 16, 32, 64)
+    s = rng.uniform(8, 150, (B, R))
+    ar = rng.uniform(0.5, 2.0, (B, R))
+    bw = s * np.sqrt(ar)
+    bh = s / np.sqrt(ar)
+    x0 = rng.uniform(0, 1, (B, R)) * (192 - bw)
+    y0 = rng.uniform(0, 1, (B, R)) * (128 - bh)
+    boxes = jnp.asarray(np.stack([x0, y0, x0 + bw, y0 + bh], -1), np.float32)
+    got = ra.batched_multilevel_roi_align_pallas_paired(
+        feats, boxes, strides, interpret=True
+    )
+    want = ra.batched_multilevel_roi_align(feats, boxes, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_fast_band_matches_exact_for_square_boxes():
+    """Band kernel: reference-exact whenever no level bump triggers
+    (square boxes never exceed the tile-4 budget)."""
+    import jax.numpy as jnp
+    from lvc_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(12)
+    B, R, C = 1, 16, 256
+    feats = []
+    h, w = 32, 48
+    for _ in range(5):
+        feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    strides = (4, 8, 16, 32, 64)
+    s = rng.uniform(8, 150, (B, R))
+    x0 = rng.uniform(0, 1, (B, R)) * (192 - s)
+    y0 = rng.uniform(0, 1, (B, R)) * (128 - s)
+    boxes = jnp.asarray(np.stack([x0, y0, x0 + s, y0 + s], -1), np.float32)
+    got = ra.batched_multilevel_roi_align_pallas_fast(
+        feats, boxes, strides, interpret=True
+    )
+    want = ra.batched_multilevel_roi_align(feats, boxes, strides)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
