@@ -20,8 +20,17 @@ from lvc_tpu.structures.boxes import BoxMode
 
 
 def read_image(file_name: str, fmt: str = "BGR") -> np.ndarray:
-    img = Image.open(file_name).convert("RGB")
-    arr = np.asarray(img)
+    """Decode to RGB/BGR u8; prefers the native GIL-free decoder
+    (data/csrc/imageio.cpp, bit-identical to PIL's libjpeg/libpng path)."""
+    from lvc_tpu.data import native_io
+
+    if native_io.available():
+        try:
+            arr, _ = native_io.load_resize(file_name, 0)
+        except (IOError, ImportError):
+            arr = np.asarray(Image.open(file_name).convert("RGB"))
+    else:
+        arr = np.asarray(Image.open(file_name).convert("RGB"))
     if fmt == "BGR":
         arr = arr[:, :, ::-1]
     return np.ascontiguousarray(arr)

@@ -14,6 +14,18 @@ import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter
 
 
+def _resize_bilinear(image: np.ndarray, newh: int, neww: int) -> np.ndarray:
+    """PIL.BILINEAR resize; prefers the native GIL-free kernel
+    (data/csrc/imageio.cpp, within +-1 LSB of PIL) for u8 inputs."""
+    if image.dtype == np.uint8:
+        from lvc_tpu.data import native_io
+
+        if native_io.available():
+            return native_io.resize(np.ascontiguousarray(image), newh, neww)
+    pil = Image.fromarray(image)
+    return np.asarray(pil.resize((neww, newh), Image.BILINEAR))
+
+
 def resize_shortest_edge(
     image: np.ndarray,
     boxes: Optional[np.ndarray],
@@ -33,9 +45,7 @@ def resize_shortest_edge(
         newh, neww = newh * scale2, neww * scale2
     neww = int(neww + 0.5)
     newh = int(newh + 0.5)
-    pil = Image.fromarray(image)
-    pil = pil.resize((neww, newh), Image.BILINEAR)
-    out = np.asarray(pil)
+    out = _resize_bilinear(image, newh, neww)
     if boxes is not None and len(boxes):
         boxes = boxes.astype(np.float64).copy()
         boxes[:, 0::2] *= neww * 1.0 / w
