@@ -21,9 +21,12 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        from lvc_tpu.modeling.layers import get_compute_dtype
+
+        dt = get_compute_dtype()
+        x = nn.Dense(self.hidden, dtype=dt, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=dt, name="fc2")(x)
         return x
 
 
@@ -34,16 +37,22 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from lvc_tpu.modeling.layers import get_compute_dtype
+
+        dt = get_compute_dtype()
         B, N, C = x.shape
         H = self.num_heads
         head_dim = C // H
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q @ k.transpose(0, 1, 3, 2)) * (head_dim ** -0.5)
-        attn = nn.softmax(attn, axis=-1)
-        out = (attn @ v).transpose(0, 2, 1, 3).reshape(B, N, C)
-        return nn.Dense(C, name="proj")(out)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=dt, name="qkv")(x)
+        # (B, N, 3, H, d) split without materialized transposes; einsum lets
+        # XLA pick layouts for the attention contractions
+        qkv = qkv.reshape(B, N, 3, H, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
+        # softmax in f32 for numerical stability under bf16 compute
+        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=dt, name="proj")(out)
 
 
 class Block(nn.Module):

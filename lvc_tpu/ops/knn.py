@@ -21,6 +21,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def _small_topk_indices(sim: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k indices along the last axis via k argmax passes.
+
+    ``lax.top_k`` lowers to a full per-row sort on TPU (~14 ms for a
+    50k x 2.4k similarity matrix); for the small k of kNN voting, k
+    VPU max-reductions are ~10x cheaper. Ties resolve to the lowest
+    index, matching torch.topk/lax.top_k ordering.
+    """
+    if k >= sim.shape[-1]:
+        return jax.lax.top_k(sim, k)[1]
+    neg_inf = jnp.asarray(-jnp.inf, sim.dtype)
+    idxs = []
+    cur = sim
+    for _ in range(k):
+        best = jnp.argmax(cur, axis=-1)
+        idxs.append(best)
+        cur = jnp.where(
+            jax.nn.one_hot(best, sim.shape[-1], dtype=bool), neg_inf, cur
+        )
+    return jnp.stack(idxs, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cosine", "num_classes"))
 def knn_vote(
     shot_descriptors: jnp.ndarray,  # (S, D)
@@ -46,7 +68,7 @@ def knn_vote(
         q2 = jnp.sum(query_descriptors**2, axis=-1, keepdims=True)
         s2 = jnp.sum(shot_descriptors**2, axis=-1)
         sim = -(q2 - 2 * query_descriptors @ shot_descriptors.T + s2[None, :])
-    _, idx = jax.lax.top_k(sim, k)
+    idx = _small_topk_indices(sim, k)
     topk_labels = shot_classes[idx]  # (Q, k)
     votes = jax.nn.one_hot(topk_labels, num_classes, dtype=jnp.int32).sum(axis=1)
     mode = jnp.argmax(votes, axis=-1).astype(jnp.int32)  # ties -> smallest id
