@@ -103,3 +103,54 @@ def test_model_bf16_close_to_f32_detections():
         s32 = float(np.asarray(d32.scores)[v32].max())
         s16 = float(np.asarray(d16.scores)[v16].max())
         assert abs(s32 - s16) < 0.05
+
+
+def test_bf16_train_step_finite_and_decreasing():
+    """Mixed-precision training: bf16 convs, f32 params/losses — must run,
+    stay finite, and reduce the loss at a conservative LR.
+
+    NOTE (documented in docs/PERF.md): at synthetic random init the bf16
+    backward loses gradient fidelity in the FPN output convs (measured grad
+    cosine 0.26 vs f32), so reference-scale LRs diverge; bf16 is the
+    serving dtype, training defaults to f32. This test pins the supported
+    envelope: small-LR bf16 training is stable and reduces the loss.
+    """
+    import os
+    import __graft_entry__ as g
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.engine.train_loop import TrainState, make_train_step
+    from lvc_tpu.modeling.meta_arch.build import build_model
+    from lvc_tpu.solver.build import build_optimizer
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(repo, "configs/Base-RCNN-FPN.yaml"))
+    cfg.MODEL.DTYPE = "bfloat16"
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 4
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.SOLVER.BASE_LR = 1e-6
+    cfg.SOLVER.WARMUP_ITERS = 0
+    cfg.SOLVER.STEPS = (100000,)
+
+    model = build_model(cfg)
+    batch = g._make_batch(B=1, H=128, W=128, train=True, seed=3, s2d=False)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch,
+        train=True,
+    )
+    # params must stay f32 under bf16 compute
+    dtypes = {x.dtype for x in jax.tree_util.tree_leaves(variables["params"])}
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(variables, tx)
+    step = jax.jit(make_train_step(model, tx))
+    rng = jax.random.PRNGKey(7)
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["total_loss"]))
+    assert all(np.isfinite(l) for l in losses), losses
+    assert min(losses) < losses[0], losses
