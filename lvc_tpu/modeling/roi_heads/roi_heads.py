@@ -185,13 +185,17 @@ class StandardROIHeads(nn.Module):
         if impl_name == "auto":
             import jax
 
-            impl_name = (
-                "pallas" if jax.default_backend() == "tpu" and not train else "exact"
-            )
-        elif train and impl_name.startswith("pallas"):
-            # pallas pooling is inference-only (no VJP); training always
-            # takes the differentiable gather
-            impl_name = "exact"
+            on_tpu = jax.default_backend() == "tpu"
+            if train:
+                # custom-VJP pallas pool (sequential patch-RMW backward);
+                # ~6x the XLA chunked gather+scatter pair
+                impl_name = "pallas_train" if on_tpu else "exact"
+            else:
+                impl_name = "pallas" if on_tpu else "exact"
+        elif train and impl_name.startswith("pallas") and impl_name != "pallas_train":
+            # the inference pallas kernels have no VJP; training uses the
+            # custom-VJP variant or the differentiable gather
+            impl_name = "pallas_train"
         if impl_name == "pallas":
             from lvc_tpu.ops.roi_align import (
                 batched_multilevel_roi_align_pallas_paired,
@@ -204,6 +208,21 @@ class StandardROIHeads(nn.Module):
             )
 
             impl = batched_multilevel_roi_align_pallas_fast
+        elif impl_name == "pallas_train":
+            from lvc_tpu.ops.roi_align import (
+                batched_multilevel_roi_align_pallas_trainable,
+            )
+
+            def impl(
+                feats_list, bx, strides_, output_size=7, sampling_ratio=0,
+                min_level=None, canonical_box_size=224, canonical_level=4,
+            ):
+                # custom_vjp nondiff args must be positional
+                return batched_multilevel_roi_align_pallas_trainable(
+                    tuple(feats_list), bx, strides_, output_size,
+                    sampling_ratio, 2, min_level, canonical_box_size,
+                    canonical_level,
+                )
         elif impl_name == "tiled":
             impl = batched_multilevel_roi_align_tiled
         else:

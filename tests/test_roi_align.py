@@ -293,3 +293,54 @@ def test_pallas_fast_band_matches_exact_for_square_boxes():
     )
     want = ra.batched_multilevel_roi_align(feats, boxes, strides)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_trainable_vjp_matches_exact_gather_grad():
+    """Custom-VJP pool: forward and feature grads must match autodiff of
+    the exact gather (box grads are zero by design — detached proposals)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import lvc_tpu.ops.roi_align as m
+
+    orig_paired = m.batched_multilevel_roi_align_pallas_paired
+    orig_bwd = m._roi_align_paired_bwd_impl
+    m.batched_multilevel_roi_align_pallas_paired = functools.partial(
+        orig_paired, interpret=True
+    )
+    m._roi_align_paired_bwd_impl = functools.partial(orig_bwd, interpret=True)
+    try:
+        rng = np.random.RandomState(13)
+        B, R, C = 1, 10, 256
+        feats = []
+        h, w = 32, 48
+        for _ in range(5):
+            feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        feats = tuple(feats)
+        strides = (4, 8, 16, 32, 64)
+        s = rng.uniform(8, 120, (B, R))
+        ar = rng.uniform(0.5, 2.0, (B, R))
+        bw = s * np.sqrt(ar)
+        bh = s / np.sqrt(ar)
+        x0 = rng.uniform(0, 1, (B, R)) * (192 - bw)
+        y0 = rng.uniform(0, 1, (B, R)) * (128 - bh)
+        boxes = jnp.asarray(np.stack([x0, y0, x0 + bw, y0 + bh], -1), np.float32)
+        gvec = jnp.asarray(rng.rand(B, R, 7, 7, C).astype(np.float32))
+
+        def loss_tr(fs):
+            out = m.batched_multilevel_roi_align_pallas_trainable(fs, boxes, strides)
+            return jnp.sum(out * gvec)
+
+        def loss_ex(fs):
+            out = m.batched_multilevel_roi_align(list(fs), boxes, strides)
+            return jnp.sum(out * gvec)
+
+        assert abs(float(loss_tr(feats)) - float(loss_ex(feats))) < 1e-2
+        g_tr = jax.grad(loss_tr)(feats)
+        g_ex = jax.grad(loss_ex)(feats)
+        for a, b in zip(g_tr, g_ex):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        m.batched_multilevel_roi_align_pallas_paired = orig_paired
+        m._roi_align_paired_bwd_impl = orig_bwd
