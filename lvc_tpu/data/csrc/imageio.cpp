@@ -38,9 +38,13 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
     jpeg_decompress_struct cinfo;
     JpegErr jerr;
+    // declared before setjmp so the longjmp error path can free a
+    // partially-filled buffer (libjpeg can error out mid-scanlines)
+    uint8_t* volatile out = nullptr;
     cinfo.err = jpeg_std_error(&jerr.pub);
     jerr.pub.error_exit = jpeg_err_exit;
     if (setjmp(jerr.jb)) {
+        free(out);
         jpeg_destroy_decompress(&cinfo);
         return nullptr;
     }
@@ -51,7 +55,7 @@ uint8_t* decode_jpeg(const uint8_t* data, size_t len, int* h, int* w) {
     jpeg_start_decompress(&cinfo);
     *h = cinfo.output_height;
     *w = cinfo.output_width;
-    uint8_t* out = static_cast<uint8_t*>(malloc(size_t(*h) * *w * 3));
+    out = static_cast<uint8_t*>(malloc(size_t(*h) * *w * 3));
     while (cinfo.output_scanline < cinfo.output_height) {
         uint8_t* row = out + size_t(cinfo.output_scanline) * *w * 3;
         jpeg_read_scanlines(&cinfo, &row, 1);

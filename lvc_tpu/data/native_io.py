@@ -12,15 +12,15 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 from typing import Optional, Tuple
 
 import numpy as np
 
+from lvc_tpu.utils.native_build import build_shared_lib
+
 logger = logging.getLogger(__name__)
 
 _CSRC = os.path.join(os.path.dirname(__file__), "csrc")
-_LIB_PATH = os.path.join(_CSRC, "_imageio.so")
 _lib = None
 _tried = False
 
@@ -32,14 +32,10 @@ def _load():
     _tried = True
     src = os.path.join(_CSRC, "imageio.cpp")
     try:
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
-            subprocess.check_call(
-                [
-                    "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                    "-o", _LIB_PATH, src, "-ljpeg", "-lpng",
-                ]
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib_path = build_shared_lib("imageio", src, link_libs=("jpeg", "png"))
+        if lib_path is None:
+            raise RuntimeError("compilation failed")
+        lib = ctypes.CDLL(lib_path)
         lib.lvc_load_resize.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.lvc_load_resize.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,

@@ -12,17 +12,16 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 from typing import Optional
 
 import numpy as np
 
 from lvc_tpu.evaluation.coco_eval import COCOeval
+from lvc_tpu.utils.native_build import build_shared_lib
 
 logger = logging.getLogger(__name__)
 
 _CSRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "csrc")
-_LIB_PATH = os.path.join(_CSRC, "_cocoeval.so")
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
@@ -34,13 +33,10 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     _TRIED = True
     src = os.path.join(_CSRC, "cocoeval.cpp")
     try:
-        if (not os.path.exists(_LIB_PATH)) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _LIB_PATH, src],
-                check=True,
-                capture_output=True,
-            )
-        lib = ctypes.CDLL(_LIB_PATH)
+        lib_path = build_shared_lib("cocoeval", src)
+        if lib_path is None:
+            raise RuntimeError("compilation failed")
+        lib = ctypes.CDLL(lib_path)
         lib.cocoeval_evaluate_img.restype = None
         lib.cocoeval_evaluate_img.argtypes = [
             ctypes.c_int64,
@@ -60,7 +56,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.uint8, flags="C"),
         ]
         _LIB = lib
-        logger.info("Loaded native COCOeval kernel from %s", _LIB_PATH)
+        logger.info("Loaded native COCOeval kernel from %s", lib_path)
     except Exception as e:  # g++ missing, sandboxed, etc. -> python fallback
         logger.warning("Native COCOeval unavailable (%s); using python path", e)
         _LIB = None

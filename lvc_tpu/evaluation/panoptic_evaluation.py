@@ -30,9 +30,19 @@ def pq_single_image(
     pan_pred: np.ndarray,
     segments_pred: List[dict],
 ) -> Dict[int, Dict[str, float]]:
-    """Per-category {iou_sum, tp, fp, fn} contributions for one image."""
+    """Per-category {iou_sum, tp, fp, fn} contributions for one image.
+
+    Crowd handling follows panopticapi (pq_compute_single_core): gt
+    segments with ``iscrowd`` participate neither in matching nor in FN
+    counting, and an unmatched prediction is excused (not FP) when its
+    overlap with void plus the same-category crowd segment exceeds half
+    its area.
+    """
     gt_cat = {s["id"]: s["category_id"] for s in segments_gt}
     pred_cat = {s["id"]: s["category_id"] for s in segments_pred}
+    crowd_ids = {s["id"] for s in segments_gt if s.get("iscrowd")}
+    # per-category crowd segment id (panopticapi keeps one per category)
+    crowd_by_cat = {s["category_id"]: s["id"] for s in segments_gt if s.get("iscrowd")}
 
     # joint histogram of (gt_id, pred_id) pixel pairs
     combined = pan_gt.astype(np.int64) * (2 ** 32) + pan_pred.astype(np.int64)
@@ -52,7 +62,7 @@ def pq_single_image(
     )
     matched_gt, matched_pred = set(), set()
     for (g, p), c in inter.items():
-        if g == VOID or p == VOID:
+        if g == VOID or p == VOID or g in crowd_ids:
             continue
         if gt_cat.get(g) != pred_cat.get(p):
             continue
@@ -68,14 +78,18 @@ def pq_single_image(
             matched_pred.add(p)
 
     for g, cat in gt_cat.items():
-        if g == VOID or g in matched_gt:
+        if g == VOID or g in matched_gt or g in crowd_ids:
             continue
         stats[cat]["fn"] += 1
     for p, cat in pred_cat.items():
         if p == VOID or p in matched_pred or pred_area.get(p, 0) == 0:
             continue
-        # segments mostly covering void don't count as FP (panopticapi rule)
-        if inter.get((VOID, p), 0) / pred_area[p] > 0.5:
+        # segments mostly covering void (plus the same-category crowd
+        # region) don't count as FP (panopticapi rule)
+        excused = inter.get((VOID, p), 0)
+        if cat in crowd_by_cat:
+            excused += inter.get((crowd_by_cat[cat], p), 0)
+        if excused / pred_area[p] > 0.5:
             continue
         stats[cat]["fp"] += 1
     return stats

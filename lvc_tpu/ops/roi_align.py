@@ -1575,7 +1575,11 @@ def _roi_align_paired_bwd_impl(
     patch0 = jnp.clip(patch0, 0, total_rows - rows_cap).astype(jnp.int32)
     rowoff = (row_starts - patch0[:, None]).astype(jnp.int32)  # in [0, rows_cap-2]
 
-    gout_flat = gout.reshape(n, P, P, C).astype(jnp.float32)
+    # gout carries the UNPADDED channel count (the forward returns C0
+    # channels); pad to the lane-aligned width to mirror the features
+    gout_flat = gout.reshape(n, P, P, C0).astype(jnp.float32)
+    if c_pad:
+        gout_flat = jnp.pad(gout_flat, ((0, 0), (0, 0), (0, 0), (0, c_pad)))
 
     level_shapes = [f.shape[1:3] for f in features]
     sum_h = sum(h for h, _ in level_shapes)

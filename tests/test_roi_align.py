@@ -344,3 +344,52 @@ def test_pallas_trainable_vjp_matches_exact_gather_grad():
     finally:
         m.batched_multilevel_roi_align_pallas_paired = orig_paired
         m._roi_align_paired_bwd_impl = orig_bwd
+
+
+def test_pallas_trainable_vjp_unaligned_channels():
+    """Backward must handle channel counts that are not lane-multiples:
+    the forward returns unpadded channels, so the incoming cotangent has
+    C0 channels while the kernel works at the padded width (ADVICE r1)."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import lvc_tpu.ops.roi_align as m
+
+    orig_paired = m.batched_multilevel_roi_align_pallas_paired
+    orig_bwd = m._roi_align_paired_bwd_impl
+    m.batched_multilevel_roi_align_pallas_paired = functools.partial(
+        orig_paired, interpret=True
+    )
+    m._roi_align_paired_bwd_impl = functools.partial(orig_bwd, interpret=True)
+    try:
+        rng = np.random.RandomState(5)
+        B, R, C = 1, 4, 96  # 96 is not a multiple of 128
+        feats = []
+        h, w = 16, 24
+        for _ in range(2):
+            feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+            h, w = (h + 1) // 2, (w + 1) // 2
+        feats = tuple(feats)
+        strides = (4, 8)
+        x0 = rng.uniform(0, 30, (B, R))
+        y0 = rng.uniform(0, 20, (B, R))
+        bw = rng.uniform(6, 30, (B, R))
+        bh = rng.uniform(6, 20, (B, R))
+        boxes = jnp.asarray(np.stack([x0, y0, x0 + bw, y0 + bh], -1), np.float32)
+        gvec = jnp.asarray(rng.rand(B, R, 7, 7, C).astype(np.float32))
+
+        def loss_tr(fs):
+            out = m.batched_multilevel_roi_align_pallas_trainable(fs, boxes, strides)
+            return jnp.sum(out * gvec)
+
+        def loss_ex(fs):
+            out = m.batched_multilevel_roi_align(list(fs), boxes, strides)
+            return jnp.sum(out * gvec)
+
+        g_tr = jax.grad(loss_tr)(feats)
+        g_ex = jax.grad(loss_ex)(feats)
+        for a, b in zip(g_tr, g_ex):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    finally:
+        m.batched_multilevel_roi_align_pallas_paired = orig_paired
+        m._roi_align_paired_bwd_impl = orig_bwd

@@ -127,6 +127,38 @@ def test_cityscapes_loader_and_instance_eval(tmp_path):
         proposal_idx=np.array([0, 1]),
     )
     ev.process_image(0, (100, 200), gt_boxes, gt_classes, dets)
-    res = ev.evaluate()["segm"]
+    res = ev.evaluate()["bbox"]
     assert res["AP"] == pytest.approx(100.0)
     assert res["AP50"] == pytest.approx(100.0)
+
+
+def test_pq_crowd_handling():
+    """panopticapi crowd rules: crowd gt excluded from matching and FN;
+    unmatched preds overlapping void+same-class-crowd > 0.5 are excused."""
+    pan_gt = np.zeros((10, 10), np.int32)
+    pan_gt[:5] = 1          # crowd gt, category 7
+    pan_gt[5:8] = 2         # normal gt, category 7
+    pan_pred = np.zeros((10, 10), np.int32)
+    pan_pred[:5] = 11       # pred over crowd region only, category 7
+    pan_pred[5:8] = 12      # pred matching normal gt, category 7
+    segments_gt = [
+        {"id": 1, "category_id": 7, "iscrowd": 1},
+        {"id": 2, "category_id": 7},
+    ]
+    segments_pred = [
+        {"id": 11, "category_id": 7},
+        {"id": 12, "category_id": 7},
+    ]
+    stats = pq_single_image(pan_gt, segments_gt, pan_pred, segments_pred)
+    s = stats[7]
+    # crowd gt is not FN, pred 11 is excused by crowd overlap, pred 12 is TP
+    assert s["tp"] == 1 and s["fp"] == 0 and s["fn"] == 0
+
+    # same pred over the crowd region but with a DIFFERENT category is a
+    # real FP (crowd excusal is same-category only)
+    segments_pred2 = [
+        {"id": 11, "category_id": 9},
+        {"id": 12, "category_id": 7},
+    ]
+    stats2 = pq_single_image(pan_gt, segments_gt, pan_pred, segments_pred2)
+    assert stats2[9]["fp"] == 1
