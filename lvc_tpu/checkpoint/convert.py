@@ -37,6 +37,10 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict:
             key = key[len("model.") :]
         if key in ("pixel_mean", "pixel_std"):
             continue
+        # d2 stores anchor grids as buffers (anchor_generator.cell_anchors.N);
+        # we recompute them from config
+        if "anchor_generator.cell_anchors" in key:
+            continue
         parts = key.split(".")
         # our flax stage blocks are named "res2.0" etc.; re-fuse the stage
         # name with its numeric block index after splitting on "."

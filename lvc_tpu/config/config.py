@@ -76,7 +76,7 @@ class CfgNode(dict):
         return copy.deepcopy(self)
 
     def __deepcopy__(self, memo):
-        out = CfgNode()
+        out = type(self)()  # preserve subclasses through clone()
         out.__dict__[_NEW_ALLOWED] = self.__dict__.get(_NEW_ALLOWED, False)
         for k, v in self.items():
             dict.__setitem__(out, k, copy.deepcopy(v, memo))

@@ -270,6 +270,9 @@ _C.MODEL.ROI_BOX_HEAD.SMOOTH_L1_BETA = 0.0
 _C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
 _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
 _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
+# ours-only: static cap on the adaptive RoIAlign sampling grid (the
+# reference's ceil(bin) rule is unbounded; TPU shapes must be static)
+_C.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 2
 _C.MODEL.ROI_BOX_HEAD.NUM_FC = 0
 _C.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
 _C.MODEL.ROI_BOX_HEAD.NUM_CONV = 0

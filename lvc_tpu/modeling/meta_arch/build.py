@@ -133,6 +133,7 @@ def _roi_heads_kwargs(cfg, strides):
         proposal_append_gt=cfg.MODEL.ROI_HEADS.PROPOSAL_APPEND_GT,
         pooler_resolution=cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION,
         pooler_sampling_ratio=cfg.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO,
+        pooler_max_grid=cfg.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID,
         num_conv=cfg.MODEL.ROI_BOX_HEAD.NUM_CONV,
         conv_dim=cfg.MODEL.ROI_BOX_HEAD.CONV_DIM,
         num_fc=cfg.MODEL.ROI_BOX_HEAD.NUM_FC,

@@ -45,6 +45,10 @@ class GeneralizedRCNN(nn.Module):
         std = jnp.asarray(self.pixel_std, images.dtype)
         return (images - mean) / std
 
+    def backbone_features(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Preprocess + backbone only (feature probing / parity tests)."""
+        return self.backbone(self.preprocess(batch["image"]), train=False)
+
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
         backbone_core = getattr(self.backbone, "bottom_up", self.backbone)
         if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):

@@ -58,6 +58,10 @@ class StandardROIHeads(nn.Module):
     # pooler
     pooler_resolution: int = 7
     pooler_sampling_ratio: int = 0
+    # static cap on the adaptive sampling grid (reference uses unbounded
+    # ceil(bin_size); TPU shapes must be static). 2 covers the typical FPN
+    # band; raise for exact parity with very large / high-AR boxes
+    pooler_max_grid: int = 2
     canonical_box_size: int = 224
     canonical_level: int = 4
     # head
@@ -215,24 +219,31 @@ class StandardROIHeads(nn.Module):
 
             def impl(
                 feats_list, bx, strides_, output_size=7, sampling_ratio=0,
-                min_level=None, canonical_box_size=224, canonical_level=4,
+                max_grid=2, min_level=None, canonical_box_size=224,
+                canonical_level=4,
             ):
                 # custom_vjp nondiff args must be positional
                 return batched_multilevel_roi_align_pallas_trainable(
                     tuple(feats_list), bx, strides_, output_size,
-                    sampling_ratio, 2, min_level, canonical_box_size,
+                    sampling_ratio, max_grid, min_level, canonical_box_size,
                     canonical_level,
                 )
         elif impl_name == "tiled":
             impl = batched_multilevel_roi_align_tiled
         else:
             impl = batched_multilevel_roi_align
+        # the pallas DMA kernels size VMEM scratch for grid <= 2; the
+        # exact/trainable gather honors larger grids (POOLER_MAX_GRID)
+        max_grid = self.pooler_max_grid
+        if impl_name.startswith("pallas"):
+            max_grid = min(max_grid, 2)
         return impl(
             feats,
             boxes,
             strides,
             output_size=self.pooler_resolution,
             sampling_ratio=self.pooler_sampling_ratio,
+            max_grid=max_grid,
             min_level=int(math.log2(strides[0])),
             canonical_box_size=self.canonical_box_size,
             canonical_level=self.canonical_level,

@@ -265,23 +265,59 @@ def load_reference():
     structures.ImageList = image_list.ImageList
     structures.RotatedBoxes = rotated_boxes.RotatedBoxes
 
-    # config: passthrough `configurable` + dummy global_cfg; reference
-    # modules under test are instantiated with explicit kwargs only
-    config = types.ModuleType("detectron2.config")
+    # config: the REAL reference config stack (d2 config.py + defaults.py,
+    # lvc config.py + defaults.py). fvcore's CfgNode base is backed by our
+    # own yacs-style CfgNode via a thin shim, so the reference's
+    # `configurable` decorator and default tree behave exactly as shipped.
+    fv_config = types.ModuleType("fvcore.common.config")
 
-    def configurable(init_func=None, *, from_config=None):
-        if init_func is not None:
-            return init_func
-        return lambda f: f
+    from lvc_tpu.config.config import CfgNode as _OurCfgNode
+    from lvc_tpu.config.config import _load_yaml_with_base
 
-    config.configurable = configurable
-    sys.modules["detectron2.config"] = config
+    class FvCfgNode(_OurCfgNode):
+        @classmethod
+        def load_yaml_with_base(cls, filename, allow_unsafe=False):
+            return _load_yaml_with_base(filename)
+
+    fv_config.CfgNode = FvCfgNode
+    sys.modules["fvcore.common.config"] = fv_config
+    sys.modules["fvcore.common"].config = fv_config
+
+    # file_io: PathManager used only for opening local config files
+    file_io = types.ModuleType("detectron2.utils.file_io")
+
+    class _PathManager:
+        @staticmethod
+        def open(path, mode="r", **kw):
+            return open(path, mode, **kw)
+
+        @staticmethod
+        def isfile(path):
+            import os
+
+            return os.path.isfile(path)
+
+        @staticmethod
+        def get_local_path(path, **kw):
+            return path
+
+    file_io.PathManager = _PathManager
+    sys.modules["detectron2.utils.file_io"] = file_io
+    sys.modules["detectron2.utils"].file_io = file_io
+
+    config = _pkg("detectron2.config")
+    d2_config_mod = _load_file("detectron2.config.config", f"{R}/detectron2/config/config.py")
+    for k in ("CfgNode", "get_cfg", "global_cfg", "set_global_cfg", "configurable"):
+        setattr(config, k, getattr(d2_config_mod, k))
     d2.config = config
+    _load_file("detectron2.config.defaults", f"{R}/detectron2/config/defaults.py")
 
-    lvc_config = types.ModuleType("lvc.config")
-    lvc_config.global_cfg = types.SimpleNamespace()
-    sys.modules["lvc.config"] = lvc_config
+    lvc_config = _pkg("lvc.config")
+    lvc_config_mod = _load_file("lvc.config.config", f"{R}/lvc/config/config.py")
+    for k in ("CfgNode", "get_cfg", "global_cfg", "set_global_cfg"):
+        setattr(lvc_config, k, getattr(lvc_config_mod, k))
     sys.modules["lvc"].config = lvc_config
+    _load_file("lvc.config.defaults", f"{R}/lvc/config/defaults.py")
 
     # memory helpers: pure-CPU runs never hit the CUDA-OOM retry path
     memory = types.ModuleType("detectron2.utils.memory")
@@ -334,6 +370,231 @@ def load_reference():
         nms=nms_mod,
     )
     return _CACHE
+
+
+_MODEL_CACHE = None
+
+
+def load_reference_model_modules():
+    """Extend load_reference() with the full reference model stack:
+    ResNet+FPN backbone, RPN, LVC ROI heads, GeneralizedRCNN — enough to
+    build and run the reference detector on CPU. The RoIAlign op inside
+    torchvision's slot is backed by the COMPILED reference ROIAlign_cpu.cpp
+    (layers/roi_align.py routes to torchvision >= 0.7).
+    Returns a namespace with ``meta_arch`` (lvc rcnn module) and helpers.
+    """
+    global _MODEL_CACHE
+    if _MODEL_CACHE is not None:
+        return _MODEL_CACHE
+    base = load_reference()
+    import torch
+
+    R = REF_ROOT
+
+    # -- torchvision additions: real roi_align semantics via the compiled ext
+    ext = compiled_reference_roi_align()
+    tv_ops = sys.modules["torchvision.ops"]
+
+    def tv_roi_align(input, boxes, output_size, spatial_scale=1.0, sampling_ratio=-1, aligned=False):
+        if isinstance(output_size, int):
+            output_size = (output_size, output_size)
+        return ext.forward(
+            input, boxes, spatial_scale, output_size[0], output_size[1],
+            sampling_ratio, aligned,
+        )
+
+    class RoIPool(torch.nn.Module):  # ROIPooler type "ROIPool" — unused here
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("RoIPool not supported in parity harness")
+
+    tv_ops.roi_align = tv_roi_align
+    tv_ops.RoIPool = RoIPool
+
+    # -- fvcore weight init (caffe2 conventions, fvcore/nn/weight_init.py)
+    wi = types.ModuleType("fvcore.nn.weight_init")
+
+    def c2_msra_fill(module):
+        torch.nn.init.kaiming_normal_(module.weight, mode="fan_out", nonlinearity="relu")
+        if module.bias is not None:
+            torch.nn.init.constant_(module.bias, 0)
+
+    def c2_xavier_fill(module):
+        torch.nn.init.kaiming_uniform_(module.weight, a=1)
+        if module.bias is not None:
+            torch.nn.init.constant_(module.bias, 0)
+
+    wi.c2_msra_fill = c2_msra_fill
+    wi.c2_xavier_fill = c2_xavier_fill
+    sys.modules["fvcore.nn.weight_init"] = wi
+    sys.modules["fvcore.nn"].weight_init = wi
+
+    # -- logging shims (log_first_n etc. — side-channel only)
+    logger_mod = types.ModuleType("detectron2.utils.logger")
+    logger_mod.log_first_n = lambda *a, **k: None
+    logger_mod.log_every_n = lambda *a, **k: None
+    logger_mod.log_every_n_seconds = lambda *a, **k: None
+    logger_mod.setup_logger = lambda *a, **k: None
+    sys.modules["detectron2.utils.logger"] = logger_mod
+    sys.modules["detectron2.utils"].logger = logger_mod
+
+    comm = _load_file("detectron2.utils.comm", f"{R}/detectron2/utils/comm.py")
+
+    # -- layers: batch norm, blocks, real ROIAlign wrapper, mask ops
+    layers = sys.modules["detectron2.layers"]
+    batch_norm = _load_file("detectron2.layers.batch_norm", f"{R}/detectron2/layers/batch_norm.py")
+    blocks = _load_file("detectron2.layers.blocks", f"{R}/detectron2/layers/blocks.py")
+    roi_align_mod = _load_file("detectron2.layers.roi_align", f"{R}/detectron2/layers/roi_align.py")
+    mask_ops = _load_file("detectron2.layers.mask_ops", f"{R}/detectron2/layers/mask_ops.py")
+    for src in (batch_norm, blocks, roi_align_mod, mask_ops):
+        for k in dir(src):
+            if not k.startswith("_"):
+                setattr(layers, k, getattr(src, k))
+
+    class ROIAlignRotated(torch.nn.Module):  # needs _C; unused in parity runs
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("ROIAlignRotated not supported in parity harness")
+
+    layers.ROIAlignRotated = ROIAlignRotated
+
+    class _NeedsC(torch.nn.Module):  # deform conv needs _C; configs keep it off
+        def __init__(self, *a, **k):
+            super().__init__()
+            raise NotImplementedError("deformable conv not supported in parity harness")
+
+    layers.DeformConv = type("DeformConv", (_NeedsC,), {})
+    layers.ModulatedDeformConv = type("ModulatedDeformConv", (_NeedsC,), {})
+
+    keypoints = _load_file(
+        "detectron2.structures.keypoints", f"{R}/detectron2/structures/keypoints.py"
+    )
+    structures = sys.modules["detectron2.structures"]
+    structures.Keypoints = keypoints.Keypoints
+    structures.heatmaps_to_keypoints = keypoints.heatmaps_to_keypoints
+
+    # -- backbone stack
+    _pkg("detectron2.modeling.backbone")
+    bb_backbone = _load_file(
+        "detectron2.modeling.backbone.backbone", f"{R}/detectron2/modeling/backbone/backbone.py"
+    )
+    bb_build = _load_file(
+        "detectron2.modeling.backbone.build", f"{R}/detectron2/modeling/backbone/build.py"
+    )
+    bb_resnet = _load_file(
+        "detectron2.modeling.backbone.resnet", f"{R}/detectron2/modeling/backbone/resnet.py"
+    )
+    bb_fpn = _load_file(
+        "detectron2.modeling.backbone.fpn", f"{R}/detectron2/modeling/backbone/fpn.py"
+    )
+    bb_pkg = sys.modules["detectron2.modeling.backbone"]
+    bb_pkg.Backbone = bb_backbone.Backbone
+    bb_pkg.build_backbone = bb_build.build_backbone
+    bb_pkg.BACKBONE_REGISTRY = bb_build.BACKBONE_REGISTRY
+
+    poolers = _load_file("detectron2.modeling.poolers", f"{R}/detectron2/modeling/poolers.py")
+    postprocessing = _load_file(
+        "detectron2.modeling.postprocessing", f"{R}/detectron2/modeling/postprocessing.py"
+    )
+    modeling = sys.modules["detectron2.modeling"]
+    modeling.poolers = poolers
+    modeling.postprocessing = postprocessing
+
+    # -- proposal generator build glue (mirrors build.py:1-24 minus rrpn)
+    pg = sys.modules["detectron2.modeling.proposal_generator"]
+    pg_build = sys.modules["detectron2.modeling.proposal_generator.build"]
+
+    def build_proposal_generator(cfg, input_shape):
+        name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
+        if name == "PrecomputedProposals":
+            return None
+        return pg_build.PROPOSAL_GENERATOR_REGISTRY.get(name)(cfg, input_shape)
+
+    pg_build.build_proposal_generator = build_proposal_generator
+    pg.build_proposal_generator = build_proposal_generator
+    pg.PROPOSAL_GENERATOR_REGISTRY = pg_build.PROPOSAL_GENERATOR_REGISTRY
+    modeling.PROPOSAL_GENERATOR_REGISTRY = pg_build.PROPOSAL_GENERATOR_REGISTRY
+
+    # -- d2 roi_heads (lvc's cascade imports StandardROIHeads from it)
+    _pkg("detectron2.modeling.roi_heads")
+    d2rh_box_head = _load_file(
+        "detectron2.modeling.roi_heads.box_head", f"{R}/detectron2/modeling/roi_heads/box_head.py"
+    )
+    d2rh_mask = _load_file(
+        "detectron2.modeling.roi_heads.mask_head", f"{R}/detectron2/modeling/roi_heads/mask_head.py"
+    )
+    d2rh_kpt = _load_file(
+        "detectron2.modeling.roi_heads.keypoint_head",
+        f"{R}/detectron2/modeling/roi_heads/keypoint_head.py",
+    )
+    d2rh_fast = _load_file(
+        "detectron2.modeling.roi_heads.fast_rcnn", f"{R}/detectron2/modeling/roi_heads/fast_rcnn.py"
+    )
+    d2rh = _load_file(
+        "detectron2.modeling.roi_heads.roi_heads", f"{R}/detectron2/modeling/roi_heads/roi_heads.py"
+    )
+    d2rh_pkg = sys.modules["detectron2.modeling.roi_heads"]
+    for k in ("ROI_HEADS_REGISTRY", "ROIHeads", "Res5ROIHeads", "StandardROIHeads", "build_roi_heads"):
+        setattr(d2rh_pkg, k, getattr(d2rh, k))
+    d2rh_pkg.build_box_head = d2rh_box_head.build_box_head
+    d2rh_pkg.build_mask_head = d2rh_mask.build_mask_head
+    d2rh_pkg.build_keypoint_head = d2rh_kpt.build_keypoint_head
+
+    # -- lvc roi_heads hierarchy + meta arch
+    lvc_box_head = _load_file(
+        "lvc.modeling.roi_heads.box_head", f"{R}/lvc/modeling/roi_heads/box_head.py"
+    )
+    lvc_fast_debug = _load_file(
+        "lvc.modeling.roi_heads.fast_rcnn_debug", f"{R}/lvc/modeling/roi_heads/fast_rcnn_debug.py"
+    )
+    lvc_rh = _load_file(
+        "lvc.modeling.roi_heads.roi_heads", f"{R}/lvc/modeling/roi_heads/roi_heads.py"
+    )
+    lvc_rh_cascade = _load_file(
+        "lvc.modeling.roi_heads.roi_heads_cascade",
+        f"{R}/lvc/modeling/roi_heads/roi_heads_cascade.py",
+    )
+    lvc_cascade = _load_file(
+        "lvc.modeling.roi_heads.cascade_rcnn", f"{R}/lvc/modeling/roi_heads/cascade_rcnn.py"
+    )
+    lvc_rh_pkg = sys.modules["lvc.modeling.roi_heads"]
+    lvc_rh_pkg.build_roi_heads = lvc_rh.build_roi_heads
+    lvc_rh_pkg.ROI_HEADS_REGISTRY = lvc_rh.ROI_HEADS_REGISTRY
+    lvc_rh_pkg.StandardROIHeads = lvc_rh.StandardROIHeads
+    lvc_rh_pkg.build_box_head = lvc_box_head.build_box_head
+
+    _pkg("lvc.modeling.proposal_generator")
+    lvc_rbg = _load_file(
+        "lvc.modeling.proposal_generator.rbg", f"{R}/lvc/modeling/proposal_generator/rbg.py"
+    )
+    _pkg("lvc.modeling.meta_arch")
+    lvc_ma_build = _load_file(
+        "lvc.modeling.meta_arch.build", f"{R}/lvc/modeling/meta_arch/build.py"
+    )
+    lvc_rcnn = _load_file(
+        "lvc.modeling.meta_arch.rcnn", f"{R}/lvc/modeling/meta_arch/rcnn.py"
+    )
+
+    _MODEL_CACHE = types.SimpleNamespace(
+        base=base,
+        comm=comm,
+        batch_norm=batch_norm,
+        resnet=bb_resnet,
+        fpn=bb_fpn,
+        poolers=poolers,
+        postprocessing=postprocessing,
+        d2_roi_heads=d2rh,
+        lvc_roi_heads=lvc_rh,
+        cascade=lvc_cascade,
+        rbg=lvc_rbg,
+        meta_arch=lvc_rcnn,
+        build_model=lambda cfg: lvc_ma_build.META_ARCH_REGISTRY.get(
+            cfg.MODEL.META_ARCHITECTURE
+        )(cfg),
+        get_cfg=sys.modules["lvc.config"].get_cfg,
+        set_global_cfg=sys.modules["lvc.config"].set_global_cfg,
+    )
+    return _MODEL_CACHE
 
 
 # --------------------------------------------------------------------------
