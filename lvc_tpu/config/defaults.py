@@ -273,6 +273,25 @@ _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
 # ours-only: static cap on the adaptive RoIAlign sampling grid (the
 # reference's ceil(bin) rule is unbounded; TPU shapes must be static)
 _C.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 2
+
+# Mask head (d2 defaults.py MODEL.ROI_MASK_HEAD; wired via MODEL.MASK_ON)
+_C.MODEL.ROI_MASK_HEAD = CN()
+_C.MODEL.ROI_MASK_HEAD.NAME = "MaskRCNNConvUpsampleHead"
+_C.MODEL.ROI_MASK_HEAD.NUM_CONV = 4
+_C.MODEL.ROI_MASK_HEAD.CONV_DIM = 256
+_C.MODEL.ROI_MASK_HEAD.NORM = ""
+_C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK = False
+
+# Keypoint head (d2 defaults.py MODEL.ROI_KEYPOINT_HEAD; MODEL.KEYPOINT_ON)
+_C.MODEL.ROI_KEYPOINT_HEAD = CN()
+_C.MODEL.ROI_KEYPOINT_HEAD.NAME = "KRCNNConvDeconvUpsampleHead"
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_CONV = 8
+_C.MODEL.ROI_KEYPOINT_HEAD.CONV_DIM = 512
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS = 17
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0
 _C.MODEL.ROI_BOX_HEAD.NUM_FC = 0
 _C.MODEL.ROI_BOX_HEAD.FC_DIM = 1024
 _C.MODEL.ROI_BOX_HEAD.NUM_CONV = 0

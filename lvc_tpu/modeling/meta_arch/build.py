@@ -152,6 +152,16 @@ def _roi_heads_kwargs(cfg, strides):
         detections_per_image=cfg.TEST.DETECTIONS_PER_IMAGE,
         debug=cfg.DEBUG,
         pooler_impl=cfg.MODEL.ROI_HEADS.POOLER_IMPL,
+        mask_on=cfg.MODEL.MASK_ON,
+        mask_num_conv=cfg.MODEL.ROI_MASK_HEAD.NUM_CONV,
+        mask_conv_dim=cfg.MODEL.ROI_MASK_HEAD.CONV_DIM,
+        mask_pooler_resolution=cfg.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION,
+        cls_agnostic_mask=cfg.MODEL.ROI_MASK_HEAD.CLS_AGNOSTIC_MASK,
+        keypoint_on=cfg.MODEL.KEYPOINT_ON,
+        num_keypoints=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_KEYPOINTS,
+        keypoint_num_conv=cfg.MODEL.ROI_KEYPOINT_HEAD.NUM_CONV,
+        keypoint_conv_dim=cfg.MODEL.ROI_KEYPOINT_HEAD.CONV_DIM,
+        keypoint_pooler_resolution=cfg.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION,
         name="roi_heads",
     )
 

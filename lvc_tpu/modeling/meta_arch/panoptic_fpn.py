@@ -56,6 +56,8 @@ class PanopticFPN(nn.Module):
                 "classes": batch["gt_classes"],
                 "valid": batch["gt_valid"],
             }
+            if "gt_masks" in batch:
+                gt["masks"] = batch["gt_masks"]
         out, aux = self.roi_heads(
             features, proposals, prop_valid, image_sizes, gt, train=train
         )

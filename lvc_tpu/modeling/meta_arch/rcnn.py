@@ -89,6 +89,10 @@ class GeneralizedRCNN(nn.Module):
             }
             if "gt_ignores" in batch:
                 gt["ignores"] = batch["gt_ignores"]
+            if "gt_masks" in batch:
+                gt["masks"] = batch["gt_masks"]
+            if "gt_keypoints" in batch:
+                gt["keypoints"] = batch["gt_keypoints"]
 
         out, aux = self.roi_heads(
             features, proposals, prop_valid, image_sizes, gt, train=train

@@ -181,6 +181,9 @@ class Detections(NamedTuple):
     classes: jnp.ndarray  # (D,) int32
     valid: jnp.ndarray  # (D,) bool
     proposal_idx: jnp.ndarray  # (D,) index into the input proposals
+    # optional task outputs (MASK_ON / KEYPOINT_ON)
+    masks: Optional[jnp.ndarray] = None  # (D, M, M) probability masks
+    keypoints: Optional[jnp.ndarray] = None  # (D, K, 3) (x, y, score)
 
 
 def fast_rcnn_inference_single_image(

@@ -41,6 +41,7 @@ class SampledProposals(NamedTuple):
     gt_boxes: jnp.ndarray  # (B, S, 4) matched gt (garbage for bg rows)
     gt_classes: jnp.ndarray  # (B, S) in [0, K] (K = bg); -1 = ignore
     valid: jnp.ndarray  # (B, S)
+    gt_idx: Optional[jnp.ndarray] = None  # (B, S) matched gt row index
 
 
 class StandardROIHeads(nn.Module):
@@ -89,6 +90,18 @@ class StandardROIHeads(nn.Module):
     # "auto" (pallas DMA kernel on TPU, point gather elsewhere) |
     # "pallas" | "tiled" (XLA slice gather) | "exact" (point gather)
     pooler_impl: str = "auto"
+    # mask head (MODEL.MASK_ON; reference roi_heads.py:531-532, mask_head.py)
+    mask_on: bool = False
+    mask_num_conv: int = 4
+    mask_conv_dim: int = 256
+    mask_pooler_resolution: int = 14
+    cls_agnostic_mask: bool = False
+    # keypoint head (MODEL.KEYPOINT_ON; keypoint_head.py)
+    keypoint_on: bool = False
+    num_keypoints: int = 17
+    keypoint_num_conv: int = 8
+    keypoint_conv_dim: int = 512
+    keypoint_pooler_resolution: int = 14
 
     def setup(self):
         self.box_head = FastRCNNConvFCHead(
@@ -109,6 +122,27 @@ class StandardROIHeads(nn.Module):
             self.box_predictor = FastRCNNOutputLayers(
                 num_classes=self.num_classes,
                 cls_agnostic_bbox_reg=self.cls_agnostic_bbox_reg,
+            )
+        if self.mask_on:
+            from lvc_tpu.modeling.roi_heads.mask_head import MaskRCNNConvUpsampleHead
+
+            self.mask_head = MaskRCNNConvUpsampleHead(
+                num_classes=self.num_classes,
+                num_conv=self.mask_num_conv,
+                conv_dim=self.mask_conv_dim,
+                cls_agnostic_mask=self.cls_agnostic_mask,
+                name="mask_head",
+            )
+        if self.keypoint_on:
+            from lvc_tpu.modeling.roi_heads.keypoint_head import (
+                KRCNNConvDeconvUpsampleHead,
+            )
+
+            self.keypoint_head = KRCNNConvDeconvUpsampleHead(
+                num_keypoints=self.num_keypoints,
+                num_conv=self.keypoint_num_conv,
+                conv_dim=self.keypoint_conv_dim,
+                name="keypoint_head",
             )
         self.box2box = Box2BoxTransform(self.bbox_reg_weights)
         self.proposal_matcher = Matcher(
@@ -168,6 +202,7 @@ class StandardROIHeads(nn.Module):
                 gt_boxes=gtb[matched_idx[idxs]],
                 gt_classes=jnp.where(slot_valid, cls[idxs], -1).astype(jnp.int32),
                 valid=slot_valid,
+                gt_idx=matched_idx[idxs].astype(jnp.int32),
             )
 
         return jax.vmap(per_image)(
@@ -176,7 +211,11 @@ class StandardROIHeads(nn.Module):
 
     # --------------------------------------------------------------- pooling
     def pool(
-        self, features: Dict[str, jnp.ndarray], boxes: jnp.ndarray, train: bool = False
+        self,
+        features: Dict[str, jnp.ndarray],
+        boxes: jnp.ndarray,
+        train: bool = False,
+        output_size: Optional[int] = None,
     ) -> jnp.ndarray:
         """features: per-level (B, H, W, C); boxes (B, R, 4) ->
         (B, R, P, P, C). Inference on TPU uses the pallas DMA RoIAlign
@@ -241,12 +280,66 @@ class StandardROIHeads(nn.Module):
             feats,
             boxes,
             strides,
-            output_size=self.pooler_resolution,
+            output_size=output_size or self.pooler_resolution,
             sampling_ratio=self.pooler_sampling_ratio,
             max_grid=max_grid,
             min_level=int(math.log2(strides[0])),
             canonical_box_size=self.canonical_box_size,
             canonical_level=self.canonical_level,
+        )
+
+    def _mask_loss(self, features, sampled, gt, fg):
+        """Mask R-CNN BCE on sampled fg proposals. ``gt["masks"]`` is a
+        (B, G, Hm, Wm) bitmask tensor at any uniform downscale of the padded
+        canvas (the scale is inferred from the first in_feature's grid)."""
+        from lvc_tpu.modeling.roi_heads.mask_head import crop_gt_masks, mask_rcnn_loss
+
+        B, S = sampled.gt_classes.shape
+        M = self.mask_pooler_resolution * 2  # head upsamples 2x
+        gt_masks = gt["masks"]
+        f0 = features[self.in_features[0]]
+        canvas_h = f0.shape[1] * self.strides[self.in_features[0]]
+        scale = gt_masks.shape[2] / canvas_h  # static python float
+        pooled = self.pool(
+            features, sampled.boxes, train=True,
+            output_size=self.mask_pooler_resolution,
+        )
+        logits = self.mask_head(pooled.reshape(B * S, *pooled.shape[2:]))
+
+        def crops_one(masks_img, boxes_img, idx_img):
+            return crop_gt_masks(
+                masks_img,
+                (masks_img.shape[1], masks_img.shape[2]),
+                boxes_img * scale,
+                idx_img,
+                M,
+            )
+
+        crops = jax.vmap(crops_one)(gt_masks, sampled.boxes, sampled.gt_idx)
+        return mask_rcnn_loss(
+            logits,
+            crops.reshape(B * S, M, M),
+            sampled.gt_classes.reshape(B * S),
+            fg.reshape(B * S),
+        )
+
+    def _keypoint_loss(self, features, sampled, gt, fg):
+        """Keypoint CE on sampled fg proposals; ``gt["keypoints"]`` is
+        (B, G, K, 3) image-coordinate (x, y, vis)."""
+        from lvc_tpu.modeling.roi_heads.keypoint_head import keypoint_rcnn_loss
+
+        B, S = sampled.gt_classes.shape
+        pooled = self.pool(
+            features, sampled.boxes, train=True,
+            output_size=self.keypoint_pooler_resolution,
+        )
+        kp_logits = self.keypoint_head(pooled.reshape(B * S, *pooled.shape[2:]))
+        kps = jax.vmap(lambda k, i: k[i])(gt["keypoints"], sampled.gt_idx)
+        return keypoint_rcnn_loss(
+            kp_logits,
+            kps.reshape(B * S, *kps.shape[2:]),
+            sampled.boxes.reshape(B * S, 4),
+            fg.reshape(B * S),
         )
 
     # --------------------------------------------------------------- forward
@@ -291,6 +384,15 @@ class StandardROIHeads(nn.Module):
                 self.smooth_l1_beta,
                 self.box_reg_loss_type,
             )
+            fg = (
+                sampled.valid
+                & (sampled.gt_classes >= 0)
+                & (sampled.gt_classes < self.num_classes)
+            )
+            if self.mask_on and gt is not None and "masks" in gt:
+                losses["loss_mask"] = self._mask_loss(features, sampled, gt, fg)
+            if self.keypoint_on and gt is not None and "keypoints" in gt:
+                losses["loss_keypoint"] = self._keypoint_loss(features, sampled, gt, fg)
             return losses, sampled
         else:
             B, P = proposals.shape[:2]
@@ -319,4 +421,30 @@ class StandardROIHeads(nn.Module):
                 self.detections_per_image,
                 self.pre_nms_candidates,
             )
+            if self.mask_on:
+                from lvc_tpu.modeling.roi_heads.mask_head import mask_rcnn_inference
+
+                Bd, D = dets.classes.shape
+                pooled_m = self.pool(
+                    features, dets.boxes, output_size=self.mask_pooler_resolution
+                )
+                logits = self.mask_head(
+                    pooled_m.reshape(Bd * D, *pooled_m.shape[2:])
+                )
+                m = mask_rcnn_inference(logits, dets.classes.reshape(Bd * D))
+                dets = dets._replace(masks=m.reshape(Bd, D, *m.shape[1:]))
+            if self.keypoint_on:
+                from lvc_tpu.modeling.roi_heads.keypoint_head import (
+                    keypoint_rcnn_inference,
+                )
+
+                Bd, D = dets.classes.shape
+                pooled_k = self.pool(
+                    features, dets.boxes, output_size=self.keypoint_pooler_resolution
+                )
+                kp_logits = self.keypoint_head(
+                    pooled_k.reshape(Bd * D, *pooled_k.shape[2:])
+                )
+                kps = keypoint_rcnn_inference(kp_logits, dets.boxes.reshape(Bd * D, 4))
+                dets = dets._replace(keypoints=kps.reshape(Bd, D, *kps.shape[1:]))
             return dets, None

@@ -1,0 +1,106 @@
+"""Mask/keypoint heads wired into StandardROIHeads (VERDICT r1 next #3).
+
+A Mask/Keypoint R-CNN config builds, trains a step with finite losses,
+and produces per-detection masks/keypoints at inference.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lvc_tpu.config import get_cfg
+from lvc_tpu.modeling.meta_arch.build import build_model
+
+
+def _cfg(mask=False, kpt=False):
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.MASK_ON = mask
+    cfg.MODEL.KEYPOINT_ON = kpt
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TEST = 128
+    cfg.MODEL.RPN.POST_NMS_TOPK_TEST = 64
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 32
+    cfg.TEST.DETECTIONS_PER_IMAGE = 16
+    return cfg
+
+
+def _batch(train, G=4, H=64, W=64, kpt=False):
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.rand(1, H, W, 3).astype(np.float32) * 255),
+        "image_size": jnp.asarray([[H, W]], np.int32),
+    }
+    if train:
+        boxes = np.zeros((1, G, 4), np.float32)
+        valid = np.zeros((1, G), bool)
+        classes = np.zeros((1, G), np.int32)
+        masks = np.zeros((1, G, H // 4, W // 4), np.float32)
+        kps = np.zeros((1, G, 17, 3), np.float32)
+        for i in range(3):
+            x0, y0 = rng.rand(2) * (W // 2)
+            w, h = rng.rand(2) * 20 + 8
+            boxes[0, i] = [x0, y0, x0 + w, y0 + h]
+            classes[0, i] = rng.randint(0, 5)
+            valid[0, i] = True
+            # blobby mask inside the box (at 1/4 canvas scale)
+            m = masks[0, i]
+            m[int(y0 / 4):int((y0 + h) / 4) + 1, int(x0 / 4):int((x0 + w) / 4) + 1] = 1.0
+            for k in range(17):
+                kps[0, i, k] = [x0 + rng.rand() * w, y0 + rng.rand() * h, 2]
+        batch.update(
+            gt_boxes=jnp.asarray(boxes),
+            gt_classes=jnp.asarray(classes),
+            gt_valid=jnp.asarray(valid),
+            gt_masks=jnp.asarray(masks),
+        )
+        if kpt:
+            batch["gt_keypoints"] = jnp.asarray(kps)
+    return batch
+
+
+def test_mask_rcnn_train_and_infer():
+    cfg = _cfg(mask=True)
+    model = build_model(cfg)
+    batch = _batch(train=True)
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    assert "loss_mask" in losses
+    assert np.isfinite(float(losses["loss_mask"]))
+    # BCE at random init should sit near ln(2)
+    assert 0.2 < float(losses["loss_mask"]) < 2.0
+
+    dets = model.apply(variables, _batch(train=False), train=False)
+    assert dets.masks is not None
+    assert dets.masks.shape[2:] == (28, 28)
+    m = np.asarray(dets.masks)
+    assert np.isfinite(m).all() and (m >= 0).all() and (m <= 1).all()
+
+
+def test_keypoint_rcnn_train_and_infer():
+    cfg = _cfg(kpt=True)
+    model = build_model(cfg)
+    batch = _batch(train=True, kpt=True)
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, batch, train=True)
+    losses = model.apply(
+        variables, batch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    assert "loss_keypoint" in losses
+    assert np.isfinite(float(losses["loss_keypoint"]))
+
+    dets = model.apply(variables, _batch(train=False), train=False)
+    assert dets.keypoints is not None
+    assert dets.keypoints.shape[2:] == (17, 3)
+    assert np.isfinite(np.asarray(dets.keypoints)).all()

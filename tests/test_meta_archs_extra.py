@@ -135,3 +135,60 @@ def test_panoptic_combine():
     assert len(thing_segs) == 2  # overlap-suppressed middle instance
     assert len(stuff_segs) == 1 and stuff_segs[0]["category_id"] == 2
     assert pan.max() == len(segs)
+
+
+def test_panoptic_fpn_e2e_with_real_masks():
+    """PanopticFPN with MASK_ON: instance branch produces real pasted
+    masks that flow through the combine into PQ (VERDICT r1 next #3)."""
+    from lvc_tpu.evaluation.panoptic_evaluation import COCOPanopticEvaluator
+    from lvc_tpu.modeling.meta_arch.panoptic_fpn import (
+        combine_semantic_and_instance_outputs,
+    )
+    from lvc_tpu.modeling.roi_heads.mask_head import paste_masks_in_image
+
+    cfg = _cfg("PanopticFPN")
+    cfg.MODEL.MASK_ON = True
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.TEST.DETECTIONS_PER_IMAGE = 8
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
+    model = build_model(cfg)
+
+    tbatch = _batch(train=True)
+    G = tbatch["gt_boxes"].shape[1]
+    masks = np.zeros((B, G, H // 4, W // 4), np.float32)
+    masks[0, 0, 2:9, 2:8] = 1.0
+    masks[0, 1, 6:15, 5:13] = 1.0
+    tbatch["gt_masks"] = jnp.asarray(masks)
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, tbatch, train=True)
+    losses = model.apply(
+        variables, tbatch, train=True,
+        rngs={"sampling": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+    )
+    assert "loss_mask" in losses and np.isfinite(float(losses["loss_mask"]))
+
+    out = model.apply(variables, _batch(train=False), train=False)
+    dets = out["instances"]
+    assert dets.masks is not None and dets.masks.shape[2:] == (28, 28)
+
+    pasted = np.asarray(
+        paste_masks_in_image(dets.masks[0], dets.boxes[0], (H, W))
+    )
+    pan, segs = combine_semantic_and_instance_outputs(
+        np.asarray(dets.boxes[0]),
+        np.asarray(dets.scores[0]),
+        np.asarray(dets.classes[0]),
+        np.asarray(dets.valid[0]),
+        pasted,
+        np.asarray(out["sem_seg"][0]),
+        instances_confidence_threshold=0.0,
+        stuff_area_limit=10,
+    )
+    # feed the panoptic output through the PQ evaluator (self-comparison
+    # must give PQ 100 on every populated category)
+    ev = COCOPanopticEvaluator()
+    ev.process(pan, segs, pan, segs)
+    res = ev.evaluate()["panoptic_seg"]
+    if segs:
+        assert res["PQ"] == pytest.approx(100.0)
