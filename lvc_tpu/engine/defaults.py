@@ -94,7 +94,7 @@ class DefaultTrainer:
     with a jit train step over the local-device mesh.
     """
 
-    def __init__(self, cfg: CfgNode):
+    def __init__(self, cfg: CfgNode, eval_only: bool = False):
         self.cfg = cfg
         set_global_cfg(cfg)
         self.model = self.build_model(cfg)
@@ -105,6 +105,37 @@ class DefaultTrainer:
             n -= 1
         self.mesh = Mesh(np.array(devices[:n]), axis_names=("data",))
         self.n_devices = n
+
+        if eval_only:
+            # eval-only fast path (reference tools/train_net.py:115-123
+            # builds only the model): no train loader, no train step, no
+            # hooks; params come from the checkpoint via resume_or_load
+            seed = max(cfg.SEED, 0)
+            h, w = cfg.PAD.CANVAS_BUCKETS[0]
+            example = {
+                "image": jax.numpy.zeros((1, h, w, 3), jax.numpy.float32),
+                "image_size": jax.numpy.asarray([[h, w]], np.int32),
+            }
+            variables = jax.eval_shape(
+                lambda: self.model.init(
+                    {"params": jax.random.PRNGKey(seed)}, example, train=False
+                )
+            )
+            variables = self._materialize(variables, seed)
+            self.tx = self.build_optimizer(cfg, variables["params"])
+            self.state = TrainState.create(variables, self.tx)
+            self.eval_step = make_eval_step(self.model)
+            self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
+            self.start_iter = 0
+            self.max_iter = cfg.SOLVER.MAX_ITER
+            self.storage = None
+            self.iter = 0
+            self._rng = jax.random.PRNGKey(seed)
+            self._hooks = []
+            self.data_loader = None
+            self._loader_iter = None
+            self._first_batch = None
+            return
 
         self.data_loader = self.build_train_loader(cfg)
         self._loader_iter = iter(self.data_loader)

@@ -98,7 +98,8 @@ class COCOEvaluator:
         for i, meta in enumerate(metas):
             if meta.get("padding"):
                 continue
-            one = type(dets)(*[f[i] for f in dets])
+            from lvc_tpu.modeling.roi_heads.fast_rcnn import index_detections
+            one = index_detections(dets, i)
             self._predictions.extend(detections_to_coco_json(one, meta))
 
     def evaluate(self) -> "OrderedDict":

@@ -95,7 +95,8 @@ class LVISEvaluator:
         for i, meta in enumerate(metas):
             if meta.get("padding"):
                 continue
-            one = type(dets)(*[f[i] for f in dets])
+            from lvc_tpu.modeling.roi_heads.fast_rcnn import index_detections
+            one = index_detections(dets, i)
             self._predictions.extend(detections_to_coco_json(one, meta))
 
     def evaluate(self) -> OrderedDict:
@@ -119,5 +120,37 @@ class LVISEvaluator:
         ev.summarize()
         metrics = ["AP", "AP50", "AP75", "APs", "APm", "APl"]
         out["bbox"] = {m: float(ev.stats[i] * 100) for i, m in enumerate(metrics)}
+        out["bbox"].update(self._frequency_splits(ev, cat_ids))
         logger.info("LVIS eval: %s", out["bbox"])
+        return out
+
+    def _frequency_splits(self, ev, cat_ids) -> Dict[str, float]:
+        """APr/APc/APf: AP averaged over rare/common/frequent categories
+        (reference lvc/evaluation/lvis_evaluation.py:150 via the lvis API).
+        Frequency comes from the category's ``frequency`` field (LVIS v1)
+        or is derived from ``image_count`` (rare 1-10, common 11-100,
+        frequent >100 — the LVIS paper's definition)."""
+        # precision: (T, R, K, A, M); area "all" = 0, last maxDets
+        prec = ev.eval["precision"][:, :, :, 0, -1]  # (T, R, K)
+        per_cat = np.full(prec.shape[2], np.nan)
+        for k in range(prec.shape[2]):
+            p = prec[:, :, k]
+            p = p[p > -1]
+            if p.size:
+                per_cat[k] = p.mean()
+
+        def freq_of(cat):
+            f = cat.get("frequency")
+            if f:
+                return f
+            n = cat.get("image_count", 0)
+            return "r" if n <= 10 else ("c" if n <= 100 else "f")
+
+        groups = {"r": [], "c": [], "f": []}
+        for k, cid in enumerate(cat_ids):
+            groups[freq_of(self._api.cats[cid])].append(per_cat[k])
+        out = {}
+        for key, name in (("r", "APr"), ("c", "APc"), ("f", "APf")):
+            vals = [v for v in groups[key] if not np.isnan(v)]
+            out[name] = float(np.mean(vals) * 100) if vals else float("nan")
         return out

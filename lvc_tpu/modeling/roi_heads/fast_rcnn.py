@@ -186,6 +186,12 @@ class Detections(NamedTuple):
     keypoints: Optional[jnp.ndarray] = None  # (D, K, 3) (x, y, score)
 
 
+def index_detections(dets: Detections, i) -> Detections:
+    """Index one image's rows out of a batched Detections, passing
+    through optional fields that are None (masks/keypoints)."""
+    return type(dets)(*[None if f is None else f[i] for f in dets])
+
+
 def fast_rcnn_inference_single_image(
     boxes: jnp.ndarray,  # (R, K*4) or (R, 4)
     scores: jnp.ndarray,  # (R, K+1) softmax probabilities

@@ -95,3 +95,23 @@ def test_trainer_smoke(synthetic_coco, tmp_path):  # noqa: F811
     trainer2 = DefaultTrainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert trainer2.start_iter == 6
+
+
+def test_eval_only_trainer_skips_train_stack():
+    """Eval-only construction must not touch TRAIN datasets or the train
+    step (reference tools/train_net.py:115-123 builds only the model)."""
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.engine.defaults import DefaultTrainer
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.PAD.CANVAS_BUCKETS = [[64, 64]]
+    cfg.DATASETS.TRAIN = ("this_dataset_does_not_exist",)
+    cfg.OUTPUT_DIR = "/tmp/lvc_tpu_test_evalonly"
+    t = DefaultTrainer(cfg, eval_only=True)
+    assert t.data_loader is None
+    assert t.state is not None and t.eval_step is not None
+    # state is loadable / checkpointer exists
+    assert t.checkpointer is not None

@@ -35,6 +35,12 @@ class Trainer(DefaultTrainer):
             from lvc_tpu.evaluation.pascal_voc_evaluation import PascalVOCDetectionEvaluator
 
             return PascalVOCDetectionEvaluator(dataset_name)
+        if ev_type == "lvis":
+            from lvc_tpu.evaluation.lvis_evaluation import LVISEvaluator
+
+            return LVISEvaluator(
+                dataset_name, cfg, output_dir=os.path.join(cfg.OUTPUT_DIR, "inference")
+            )
         raise NotImplementedError(f"no evaluator for type {ev_type}")
 
 
@@ -53,7 +59,7 @@ def main(args):
     cfg = setup(args)
 
     if args.eval_only:
-        trainer = Trainer(cfg)
+        trainer = Trainer(cfg, eval_only=True)
         trainer.resume_or_load(resume=args.resume)
         res = Trainer.test(cfg, trainer.state, trainer.eval_step, Trainer)
         if cfg.TEST.EXPECTED_RESULTS:

@@ -122,7 +122,7 @@ def setup(args):
 
 def main(args):
     cfg = setup(args)
-    trainer = RegTrainer(cfg)
+    trainer = RegTrainer(cfg, eval_only=args.eval_only)
     trainer.resume_or_load(resume=args.resume)
     if args.eval_only:
         return RegTrainer.test(cfg, trainer.state)

@@ -44,7 +44,7 @@ def main(args):
     reg_cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNRegOnly"
     reg_cfg.freeze()
 
-    trainer = DefaultTrainer(reg_cfg)
+    trainer = DefaultTrainer(reg_cfg, eval_only=True)
     trainer.resume_or_load(resume=args.resume)
 
     for results_file in cfg.DATASETS.DT_PATH:
