@@ -204,11 +204,21 @@ class DefaultTrainer:
 
     @classmethod
     def build_train_loader(cls, cfg):
-        return build_detection_train_loader(cfg)
+        # multi-host: every process loads only its shard (reference strides
+        # samplers by torch.distributed rank, distributed_sampler.py:12-55)
+        return build_detection_train_loader(
+            cfg, rank=jax.process_index(), world_size=jax.process_count()
+        )
 
     @classmethod
     def build_test_loader(cls, cfg, dataset_name):
-        return build_detection_test_loader(cfg, dataset_name, batch_size=max(len(jax.devices()), 1))
+        return build_detection_test_loader(
+            cfg,
+            dataset_name,
+            batch_size=max(len(jax.local_devices()), 1),
+            rank=jax.process_index(),
+            world_size=jax.process_count(),
+        )
 
     @classmethod
     def build_evaluator(cls, cfg, dataset_name):

@@ -103,6 +103,16 @@ class COCOEvaluator:
             self._predictions.extend(detections_to_coco_json(one, meta))
 
     def evaluate(self) -> "OrderedDict":
+        # multi-host: merge per-process prediction shards (reference
+        # coco_evaluation.py:119-126 via comm.gather); non-main processes
+        # return empty
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(self._predictions)
+            if not comm.is_main_process():
+                return OrderedDict()
+            self._predictions = [r for shard in shards for r in shard]
         coco_results = copy.deepcopy(self._predictions)
         # contiguous -> dataset category ids
         id_map = self._metadata.get("thing_dataset_id_to_contiguous_id")

@@ -100,6 +100,13 @@ class LVISEvaluator:
             self._predictions.extend(detections_to_coco_json(one, meta))
 
     def evaluate(self) -> OrderedDict:
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(self._predictions)
+            if not comm.is_main_process():
+                return OrderedDict()
+            self._predictions = [r for shard in shards for r in shard]
         results = copy.deepcopy(self._predictions)
         # contiguous -> LVIS category ids (sorted order at registration)
         cat_ids = sorted(self._api.cats.keys()) if self._api.cats else []

@@ -130,6 +130,17 @@ class COCOPanopticEvaluator:
         return 100 * iou / denom, 100 * sq, 100 * rq
 
     def evaluate(self) -> "OrderedDict":
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(dict(self._stats))
+            if not comm.is_main_process():
+                return OrderedDict()
+            for shard in shards[1:]:
+                for cat, st in shard.items():
+                    acc = self._stats[cat]
+                    for k in ("iou_sum", "tp", "fp", "fn"):
+                        acc[k] += st[k]
         # per-category PQ averaged (the panopticapi convention), plus splits
         per_cat = {
             cat: self._pq_sq_rq([s]) for cat, s in self._stats.items()

@@ -143,6 +143,15 @@ class PascalVOCDetectionEvaluator:
                 )
 
     def evaluate(self) -> OrderedDict:
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(dict(self._dets))
+            if not comm.is_main_process():
+                return OrderedDict()
+            for shard in shards[1:]:
+                for cid, rows in shard.items():
+                    self._dets[cid].extend(rows)
         self._load_gt()
         aps: Dict[float, List[float]] = defaultdict(list)
         per_class_ap50 = {}

@@ -115,6 +115,13 @@ class RotatedCOCOEvaluator(COCOEvaluator):
             self._predictions.extend(rotated_detections_to_coco_json(one, meta))
 
     def evaluate(self) -> "OrderedDict":
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(self._predictions)
+            if not comm.is_main_process():
+                return OrderedDict()
+            self._predictions = [r for shard in shards for r in shard]
         coco_results = copy.deepcopy(self._predictions)
         id_map = self._metadata.get("thing_dataset_id_to_contiguous_id")
         if id_map:

@@ -104,6 +104,15 @@ class RPNEvaluator:
             self._logits[int(meta["image_id"])] = s[order]
 
     def evaluate(self) -> OrderedDict:
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects((self._props, self._logits))
+            if not comm.is_main_process():
+                return OrderedDict()
+            for props, logits in shards[1:]:
+                self._props.update(props)
+                self._logits.update(logits)
         save_dict = {
             "ids": list(self._props.keys()),
             "boxes": [self._props[i] for i in self._props],

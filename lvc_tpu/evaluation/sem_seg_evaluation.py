@@ -54,6 +54,13 @@ class SemSegEvaluator:
         ).reshape(self._conf_matrix.shape)
 
     def evaluate(self) -> "OrderedDict":
+        from lvc_tpu.utils import comm
+
+        if comm.get_world_size() > 1:
+            shards = comm.all_gather_objects(self._conf_matrix)
+            if not comm.is_main_process():
+                return OrderedDict()
+            self._conf_matrix = np.sum(shards, axis=0)
         """Reference metric formulas (sem_seg_evaluation.py:105-140)."""
         acc = np.full(self._num_classes, np.nan, dtype=np.float64)
         iou = np.full(self._num_classes, np.nan, dtype=np.float64)
