@@ -156,7 +156,10 @@ class DefaultTrainer:
         self._first_batch = example
 
         self.schedule = build_lr_schedule(cfg)
-        self.train_step = make_data_parallel_train_step(self.model, self.tx, self.mesh)
+        self.train_step = make_data_parallel_train_step(
+            self.model, self.tx, self.mesh,
+            mixed_precision=cfg.SOLVER.AMP.ENABLED,
+        )
         self.eval_step = make_eval_step(self.model)
 
         self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)

@@ -37,19 +37,45 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_train_step(model, tx) -> Callable:
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+def make_train_step(model, tx, mixed_precision: bool = False) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``mixed_precision``: master params stay f32 in the state; the forward
+    sees bf16 copies (convs/matmuls run on the MXU in bf16), loss math is
+    f32 (fast_rcnn_losses / RPN losses cast logits up), and the cast's VJP
+    returns f32 gradients accumulated against the f32 masters — the
+    SOLVER.AMP.ENABLED design from VERDICT r1 next #7."""
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
         rng_sampling, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            losses = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                train=True,
-                rngs={"sampling": rng_sampling, "dropout": rng_dropout},
-            )
+            from contextlib import nullcontext
+
+            from lvc_tpu.modeling.layers import compute_dtype_scope
+
+            fwd_batch = batch
+            scope = nullcontext()
+            if mixed_precision:
+                bf16 = lambda x: (
+                    x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+                )
+                params = jax.tree_util.tree_map(bf16, params)
+                fwd_batch = dict(batch)
+                for k in ("image", "image_s2d"):
+                    if k in fwd_batch:
+                        fwd_batch[k] = fwd_batch[k].astype(jnp.bfloat16)
+                # layers read the compute dtype at trace time; without this
+                # the f32 layer dtype would promote the bf16 casts right back
+                scope = compute_dtype_scope(jnp.bfloat16)
+            with scope:
+                losses = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    fwd_batch,
+                    train=True,
+                    rngs={"sampling": rng_sampling, "dropout": rng_dropout},
+                )
+            losses = {k: v.astype(jnp.float32) for k, v in losses.items()}
             total = sum(losses.values())
             return total, losses
 
@@ -64,11 +90,13 @@ def make_train_step(model, tx) -> Callable:
     return train_step
 
 
-def make_data_parallel_train_step(model, tx, mesh: Mesh) -> Callable:
+def make_data_parallel_train_step(
+    model, tx, mesh: Mesh, mixed_precision: bool = False
+) -> Callable:
     """jit the train step over the mesh: batch sharded on 'data', state
     replicated. The gradient all-reduce is inserted by XLA (replicated
     output sharding on params forces a psum over the data axis)."""
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, mixed_precision=mixed_precision)
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
     return jax.jit(

@@ -35,6 +35,26 @@ def get_compute_dtype():
     return _COMPUTE_DTYPE
 
 
+class compute_dtype_scope:
+    """Temporarily switch the compute dtype (read at TRACE time): used by
+    the mixed-precision train step to trace its forward in bf16 while the
+    build-time default stays f32 for eval."""
+
+    def __init__(self, dtype):
+        self._dtype = jnp.dtype(dtype)
+
+    def __enter__(self):
+        global _COMPUTE_DTYPE
+        self._saved = _COMPUTE_DTYPE
+        _COMPUTE_DTYPE = self._dtype
+        return self
+
+    def __exit__(self, *exc):
+        global _COMPUTE_DTYPE
+        _COMPUTE_DTYPE = self._saved
+        return False
+
+
 class FrozenBatchNorm(nn.Module):
     """BatchNorm with constant affine + stats (detectron2 FrozenBatchNorm2d,
     layers/batch_norm.py:14). Stats live in the ``batch_stats`` collection so

@@ -137,6 +137,9 @@ def fast_rcnn_losses(
     sampled batch.
     """
     num_classes = class_logits.shape[-1] - 1
+    # loss math always in f32 (mixed-precision runs emit bf16 logits)
+    class_logits = class_logits.astype(jnp.float32)
+    proposal_deltas = proposal_deltas.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(valid), 1)
 
     # classification: softmax CE; ignore (-1) and padding rows masked out

@@ -20,4 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: model-level tests recompile near-identical
+# R-50 graphs; cache them across invocations (VERDICT r1 next #5)
+_cache_dir = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "lvc_tpu", "jax_test_cache",
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,5 +1,10 @@
 """CLIP (ResNet-D) and deformable bottleneck variants, CLIP optimizer,
 and the analysis/env/events utilities."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,4 +1,9 @@
 """Checkpoint conversion round-trip + surgery workflow tests."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import os
 import subprocess
 import sys

@@ -1,6 +1,11 @@
 """Tests for the wider vendored-surface components: config compat, debug
 inference, cascade test-time refinement, RPNComp, mask/keypoint heads,
 deformable conv, ASPP, P6P7, clustering, PreciseBN, TTA merge, utils."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

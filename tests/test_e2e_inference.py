@@ -1,4 +1,9 @@
 """Full inference slice: loader -> jitted model -> evaluator -> metrics."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 

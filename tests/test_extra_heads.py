@@ -1,4 +1,9 @@
 """Res5 / Parallel / CascadeBBox heads + context meta-arch smoke tests."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np

@@ -3,6 +3,11 @@
 A Mask/Keypoint R-CNN config builds, trains a step with finite losses,
 and produces per-detection masks/keypoints at inference.
 """
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 

@@ -1,5 +1,10 @@
 """Smoke tests for the vendored-surface meta-archs: RetinaNet,
 SemanticSegmentor, PanopticFPN (SURVEY.md §2.2 d2 meta-arch row)."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -1,5 +1,10 @@
 """Mixed-precision (bfloat16 compute) path: convs run bf16, coordinate
 math stays f32, numerics stay close to the f32 path."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import pytest
 
@@ -154,3 +159,87 @@ def test_bf16_train_step_finite_and_decreasing():
         losses.append(float(metrics["total_loss"]))
     assert all(np.isfinite(l) for l in losses), losses
     assert min(losses) < losses[0], losses
+
+
+def test_amp_train_step_matches_f32_in_conditioned_regime():
+    """SOLVER.AMP (f32 masters + bf16 compute): in the well-conditioned
+    weight regime (damped init ~ pretrained scales) the mixed step's
+    losses match f32 closely and the parameter update points the same
+    way. Round 1's bf16 infidelity was the amplified-activation regime
+    of raw random init (see PARITY.md), not the production one."""
+    import jax
+    from jax.sharding import Mesh
+
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.engine.train_loop import (
+        TrainState,
+        make_data_parallel_train_step,
+        shard_batch,
+    )
+    from lvc_tpu.modeling.meta_arch.build import build_model
+    from lvc_tpu.solver.build import build_optimizer
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    model = build_model(cfg)
+
+    B, H, W, G = 2, 64, 64, 4
+    rng = np.random.RandomState(3)
+    batch = {
+        "image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "image_size": jnp.asarray(np.full((B, 2), [H, W], np.int32)),
+        "gt_boxes": jnp.asarray(
+            np.tile(np.array([[8, 8, 40, 40], [20, 20, 50, 50],
+                              [0, 0, 0, 0], [0, 0, 0, 0]], np.float32), (B, 1, 1))),
+        "gt_classes": jnp.zeros((B, G), jnp.int32),
+        "gt_valid": jnp.asarray(np.tile([True, True, False, False], (B, 1))),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch, train=True,
+    )
+    # damp conv kernels into the pretrained-scale regime
+    damp = lambda path, x: x * 0.6 if (x.ndim == 4) else x
+    variables = {
+        "params": jax.tree_util.tree_map_with_path(
+            lambda p, x: damp(p, x), variables["params"]
+        ),
+        **{k: v for k, v in variables.items() if k != "params"},
+    }
+    tx = build_optimizer(cfg, variables["params"])
+    mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("data",))
+
+    out = {}
+    for amp in (False, True):
+        state = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        step = make_data_parallel_train_step(model, tx, mesh, mixed_precision=amp)
+        with mesh:
+            sharded = shard_batch(batch, mesh)
+            state, metrics = step(state, sharded, jax.random.PRNGKey(5))
+            jax.block_until_ready(metrics)
+        out[amp] = (state, {k: float(v) for k, v in metrics.items()})
+
+    m32, m16 = out[False][1], out[True][1]
+    for k in m32:
+        assert m16[k] == pytest.approx(m32[k], rel=0.05, abs=5e-3), (k, m16[k], m32[k])
+
+    # update direction: flattened (new - old) cosine similarity
+    old = jax.tree_util.tree_leaves(variables["params"])
+    upd32 = np.concatenate([
+        (np.asarray(a) - np.asarray(o)).ravel()
+        for a, o in zip(jax.tree_util.tree_leaves(out[False][0].params), old)
+    ])
+    upd16 = np.concatenate([
+        (np.asarray(a) - np.asarray(o)).ravel()
+        for a, o in zip(jax.tree_util.tree_leaves(out[True][0].params), old)
+    ])
+    cos = float(upd32 @ upd16 / (np.linalg.norm(upd32) * np.linalg.norm(upd16) + 1e-12))
+    assert cos > 0.98, cos
+    # masters stay f32
+    for leaf in jax.tree_util.tree_leaves(out[True][0].params):
+        assert leaf.dtype != jnp.bfloat16

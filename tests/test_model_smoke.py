@@ -1,4 +1,9 @@
 """End-to-end model smoke tests: build from config, init, train/infer."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax
 import jax.numpy as jnp

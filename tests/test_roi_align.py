@@ -1,5 +1,10 @@
 """RoIAlign parity vs a direct numpy port of the reference CPU kernel
 semantics (ROIAlign_cpu.cpp) written independently here as the test oracle."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import math
 
 import numpy as np

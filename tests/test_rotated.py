@@ -1,4 +1,9 @@
 """Rotated boxes: IoU vs a scalar Sutherland-Hodgman reference, NMS parity."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 import pytest

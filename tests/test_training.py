@@ -12,6 +12,7 @@ from test_data_pipeline import synthetic_coco  # noqa: F401
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_train_step_overfits_single_batch():
     """Repeated SGD on one fixed batch must drive the loss down."""
     import __graft_entry__ as g

@@ -1,4 +1,9 @@
 """RBG + cascade UBBR box-corrector tests."""
+import pytest
+
+# full-model compiles: deselect with -m "not slow"
+pytestmark = pytest.mark.slow
+
 import os
 
 import numpy as np
