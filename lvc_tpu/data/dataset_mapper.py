@@ -9,6 +9,7 @@ from the same bucket stack directly into the model's batch contract.
 """
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -148,6 +149,14 @@ class DatasetMapper:
 
         G = self.max_gt
         n = min(len(boxes), G)
+        if len(boxes) > G and not self.is_train:
+            # at eval time every gt/candidate box is a consumer-visible
+            # output slot; truncation silently drops results
+            logging.getLogger(__name__).warning(
+                "image %s: %d gt boxes exceed PAD.MAX_GT_PER_IMAGE=%d; "
+                "%d dropped — raise the pad for candidate-correction runs",
+                d.get("image_id", "?"), len(boxes), G, len(boxes) - G,
+            )
         gt_boxes = np.zeros((G, 4), np.float32)
         gt_classes = np.zeros((G,), np.int32)
         gt_valid = np.zeros((G,), bool)

@@ -278,11 +278,14 @@ def get_crops_qe(
         win = get_padding(np.asarray(box, np.float64), pk)
         x0, y0, x1, y1 = win
         # pad image virtually with zeros where the window exceeds bounds
-        side = int(round(x1 - x0))
+        side = max(int(round(x1 - x0)), 1)
         canvas = np.zeros((side, side, image.shape[2]), image.dtype)
-        sx0, sy0 = int(max(0, round(x0))), int(max(0, round(y0)))
-        sx1, sy1 = int(min(w, round(x1))), int(min(h, round(y1)))
-        dx0, dy0 = sx0 - int(round(x0)), sy0 - int(round(y0))
+        # integer window anchored at one rounded origin; using round(x1)/
+        # round(y1) independently can disagree with ``side`` by 1 px
+        ix0, iy0 = int(round(x0)), int(round(y0))
+        sx0, sy0 = max(0, ix0), max(0, iy0)
+        sx1, sy1 = min(w, ix0 + side), min(h, iy0 + side)
+        dx0, dy0 = sx0 - ix0, sy0 - iy0
         patch = image[sy0:sy1, sx0:sx1]
         canvas[dy0 : dy0 + patch.shape[0], dx0 : dx0 + patch.shape[1]] = patch
         pil = Image.fromarray(canvas).resize((crop_size, crop_size), Image.BILINEAR)

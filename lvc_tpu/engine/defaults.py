@@ -112,9 +112,15 @@ class DefaultTrainer:
             # hooks; params come from the checkpoint via resume_or_load
             seed = max(cfg.SEED, 0)
             h, w = cfg.PAD.CANVAS_BUCKETS[0]
+            G = cfg.PAD.MAX_GT_PER_IMAGE
             example = {
                 "image": jax.numpy.zeros((1, h, w, 3), jax.numpy.float32),
                 "image_size": jax.numpy.asarray([[h, w]], np.int32),
+                # gt slots: box-correction archs (GeneralizedRCNNRegOnly)
+                # consume candidates through them even at inference
+                "gt_boxes": jax.numpy.zeros((1, G, 4), jax.numpy.float32),
+                "gt_classes": jax.numpy.zeros((1, G), jax.numpy.int32),
+                "gt_valid": jax.numpy.zeros((1, G), bool),
             }
             variables = jax.eval_shape(
                 lambda: self.model.init(

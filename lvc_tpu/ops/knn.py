@@ -55,7 +55,10 @@ def knn_vote(
     """Returns (topk_labels (Q, k), mode_label (Q,)).
 
     Mode ties resolve to the smallest class id (torch.mode semantics).
+    ``k`` is clamped to the gallery size (fewer shots than k just votes
+    over all of them, like faiss returning every neighbour).
     """
+    k = min(k, shot_descriptors.shape[0])
     if cosine:
         center = jnp.mean(shot_descriptors, axis=0, keepdims=True)
         s = shot_descriptors - center

@@ -98,6 +98,11 @@ class DescriptorExtractor:
             img = read_image(d["file_name"], "RGB")
             boxes, classes, ids = [], [], []
             for a in d["annotations"]:
+                # crowd/sub-band ignore regions are never verification
+                # queries (reference lvc/data/dataset_mapper.py:379-393
+                # drops iscrowd from DatasetMapperQE instances)
+                if a.get("iscrowd", 0):
+                    continue
                 b = a["bbox"]
                 from lvc_tpu.structures.boxes import BoxMode
 

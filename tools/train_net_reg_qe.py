@@ -8,8 +8,10 @@ JSON's boxes through the cascade corrector
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
+from collections import Counter
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,8 +53,24 @@ def main(args):
         if not os.path.isfile(results_file):
             print(f"skipping missing {results_file}")
             continue
+        # Every candidate box must flow through the corrector (the reference
+        # iterates them all, train_net_reg_qe.py); the fixed-shape gt slots
+        # would silently drop per-image overflow, so widen the pad to the
+        # densest image in this file (rounded up for compile-cache stability).
+        with open(results_file) as f:
+            data = json.load(f)
+        anns = data["annotations"] if isinstance(data, dict) else data
+        # count every annotation: the with_gt loader keeps ignore_qe
+        # regions as gt slots too, and the corrector emits all of them
+        per_img = Counter(a["image_id"] for a in anns)
+        need = max(per_img.values(), default=1)
+        file_cfg = reg_cfg.clone().defrost()
+        file_cfg.PAD.MAX_GT_PER_IMAGE = max(
+            reg_cfg.PAD.MAX_GT_PER_IMAGE, -(-need // 16) * 16
+        )
+        file_cfg.freeze()
         loader = build_detection_test_loader(
-            reg_cfg, results_file, batch_size=max(len(jax.devices()), 1), with_gt=True
+            file_cfg, results_file, batch_size=max(len(jax.devices()), 1), with_gt=True
         )
         saver = UBBRSaver(results_file, reg_cfg)
         infer = lambda batch: trainer.eval_step(trainer.state, batch)
