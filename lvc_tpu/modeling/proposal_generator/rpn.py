@@ -138,11 +138,18 @@ class RPN(nn.Module):
 
     # ------------------------------------------------------------------ loss
     def losses(self, anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid):
+        """Only the ``batch_size_per_image`` sampled anchors contribute to
+        either loss (reference rpn.py:328-400), so all per-anchor loss inputs
+        are gathered at the sampled indices instead of being computed over
+        the full ~280k-anchor set: the full-size matched-gt gather, the f32
+        cast of every delta, and the full-size smooth-l1/BCE cost
+        ~20 ms/step at bs8 832x1344 before this restructure."""
         anchors = jnp.concatenate(anchors_lvl, axis=0)  # (R, 4)
         logits = jnp.concatenate(logits_flat, axis=1)  # (B, R)
         B = logits.shape[0]
+        # keep deltas in the conv dtype; only sampled rows are cast to f32
         deltas = jnp.concatenate(
-            [d.reshape(B, -1, 4).astype(jnp.float32) for d in deltas_flat], axis=1
+            [d.reshape(B, -1, 4) for d in deltas_flat], axis=1
         )  # (B, R, 4)
 
         rng = self.make_rng("sampling")
@@ -154,28 +161,31 @@ class RPN(nn.Module):
             idxs, is_pos, slot_valid = subsample_labels(
                 key, match_labels, self.batch_size_per_image, self.positive_fraction
             )
-            # labels over all anchors: -1 except sampled. Unfilled slots carry
-            # clipped duplicate indices; scatter-max keeps real samples intact.
-            slot_value = jnp.where(slot_valid, jnp.where(is_pos, 1, 0), -1).astype(jnp.int32)
-            labels = jnp.full(anchors.shape[:1], -1, jnp.int32)
-            labels = labels.at[idxs].max(slot_value)
-            matched_gt = gt_b[matched_idx]  # (R, 4)
-            return labels, matched_gt
+            s_anchors = anchors[idxs]  # (S, 4)
+            s_gt = gt_b[matched_idx[idxs]]  # (S, 4)
+            return idxs, is_pos, slot_valid, s_anchors, s_gt
 
-        labels, matched_gt = jax.vmap(label_one)(keys, gt_boxes, gt_valid)
-
-        pos_mask = labels == 1
-        valid_mask = labels >= 0
-        gt_deltas = self.box2box.get_deltas(
-            jnp.broadcast_to(anchors, deltas.shape), matched_gt
+        idxs, is_pos, slot_valid, s_anchors, s_gt = jax.vmap(label_one)(
+            keys, gt_boxes, gt_valid
         )
-        loc = smooth_l1(deltas, gt_deltas, self.smooth_l1_beta).sum(-1)
-        localization_loss = jnp.sum(jnp.where(pos_mask, loc, 0.0))
+
+        s_logits = jnp.take_along_axis(logits, idxs, axis=1)  # (B, S)
+        s_deltas = jnp.take_along_axis(deltas, idxs[..., None], axis=1).astype(
+            jnp.float32
+        )  # (B, S, 4)
+
+        gt_deltas = self.box2box.get_deltas(s_anchors, s_gt)
+        loc = smooth_l1(s_deltas, gt_deltas, self.smooth_l1_beta).sum(-1)
+        localization_loss = jnp.sum(jnp.where(is_pos, loc, 0.0))
 
         # BCE with logits over sampled anchors (rpn.py:390-397)
-        lab_f = (labels == 1).astype(jnp.float32)
-        bce = jnp.maximum(logits, 0) - logits * lab_f + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-        objectness_loss = jnp.sum(jnp.where(valid_mask, bce, 0.0))
+        lab_f = is_pos.astype(jnp.float32)
+        bce = (
+            jnp.maximum(s_logits, 0)
+            - s_logits * lab_f
+            + jnp.log1p(jnp.exp(-jnp.abs(s_logits)))
+        )
+        objectness_loss = jnp.sum(jnp.where(slot_valid, bce, 0.0))
 
         normalizer = self.batch_size_per_image * B
         return {

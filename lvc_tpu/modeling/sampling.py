@@ -33,11 +33,14 @@ def subsample_labels(
     neg = labels == 0
     k_pos, k_neg = jax.random.split(key)
 
-    # Random permutation of positives first, rest pushed to the end.
+    # Random subset of positives/negatives via top-k over random priorities
+    # (a full argsort of N=~280k anchors cost ~8 ms/step; only the first
+    # num_samples entries of the permutation are ever read).
+    k = min(num_samples, n)
     pos_pri = jnp.where(pos, jax.random.uniform(k_pos, (n,)), jnp.inf)
     neg_pri = jnp.where(neg, jax.random.uniform(k_neg, (n,)), jnp.inf)
-    pos_order = jnp.argsort(pos_pri)
-    neg_order = jnp.argsort(neg_pri)
+    _, pos_order = jax.lax.top_k(-pos_pri, k)
+    _, neg_order = jax.lax.top_k(-neg_pri, k)
 
     avail_pos = jnp.sum(pos)
     avail_neg = jnp.sum(neg)
@@ -47,7 +50,7 @@ def subsample_labels(
 
     slot = jnp.arange(num_samples)
     is_pos_slot = slot < num_pos
-    neg_slot = jnp.clip(slot - num_pos, 0, n - 1)
-    idxs = jnp.where(is_pos_slot, pos_order[jnp.clip(slot, 0, n - 1)], neg_order[neg_slot])
+    neg_slot = jnp.clip(slot - num_pos, 0, k - 1)
+    idxs = jnp.where(is_pos_slot, pos_order[jnp.clip(slot, 0, k - 1)], neg_order[neg_slot])
     slot_valid = slot < (num_pos + num_neg)
     return idxs.astype(jnp.int32), is_pos_slot & slot_valid, slot_valid
