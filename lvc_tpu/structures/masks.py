@@ -27,6 +27,64 @@ def polygons_to_bitmask(polygons: Sequence[np.ndarray], height: int, width: int)
     return np.asarray(img, bool)
 
 
+def _rle_counts(rle: dict) -> List[int]:
+    """Decode the ``counts`` field of a COCO RLE dict to a plain run-length
+    list. Handles both the uncompressed form (list of ints) and the
+    compressed LEB128-style string of the COCO mask API
+    (pycocotools rleFrString semantics: 5-bit groups, chars offset by 48,
+    runs >2 stored as deltas from the run two places back)."""
+    counts = rle["counts"]
+    if isinstance(counts, (list, tuple)):
+        return [int(c) for c in counts]
+    if isinstance(counts, bytes):
+        counts = counts.decode("ascii")
+    out: List[int] = []
+    p = 0
+    while p < len(counts):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(counts[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(out) > 2:
+            x += out[-2]
+        out.append(x)
+    return out
+
+
+def rle_to_bitmask(rle: dict) -> np.ndarray:
+    """COCO RLE dict ({"size": [h, w], "counts": ...}) -> (h, w) bool mask.
+    Runs alternate background/foreground in column-major order (COCO mask
+    API convention)."""
+    h, w = rle["size"]
+    counts = _rle_counts(rle)
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        flat[pos : pos + c] = val
+        pos += c
+        val = not val
+    return flat.reshape(w, h).T  # column-major
+
+
+def bitmask_to_rle(mask: np.ndarray) -> dict:
+    """(h, w) bool mask -> uncompressed COCO RLE dict (column-major runs)."""
+    m = np.asarray(mask, bool)
+    h, w = m.shape
+    flat = m.T.reshape(-1)
+    # run boundaries; COCO counts always start with a background run
+    change = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    lengths = np.diff(np.concatenate([[0], change, [flat.size]])).tolist()
+    if flat.size and flat[0]:
+        lengths = [0] + lengths
+    return {"size": [h, w], "counts": [int(c) for c in lengths]}
+
+
 class PolygonMasks:
     """A list (per instance) of polygon lists; lazily rasterizable."""
 
