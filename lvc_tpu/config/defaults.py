@@ -41,6 +41,10 @@ _C.INPUT.CROP = CN({"ENABLED": False})
 _C.INPUT.CROP.TYPE = "relative_range"
 _C.INPUT.CROP.SIZE = [0.9, 0.9]
 _C.INPUT.LSJ = False
+# emit the production space-to-depth input tensor from the loader
+# ("auto": when the backbone stem consumes it; "on"/"off" to force) —
+# see data/transforms.py:s2d_canvas
+_C.INPUT.LOADER_S2D = "auto"
 _C.INPUT.FORMAT = "BGR"
 _C.INPUT.MASK_FORMAT = "polygon"
 _C.INPUT.COLOR_JITTER = False

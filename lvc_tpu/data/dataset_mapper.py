@@ -46,6 +46,31 @@ def pick_canvas(h: int, w: int, buckets: Sequence[Sequence[int]]) -> Tuple[int, 
     return tuple(max(buckets, key=lambda b: b[0] * b[1]))
 
 
+def wants_loader_s2d(cfg) -> bool:
+    """Whether the input pipeline should emit the production ``image_s2d``
+    tensor (normalized + padded + 2x2 space-to-depth, transforms.s2d_canvas)
+    instead of the raw padded canvas. Saves the device-side relayout
+    (~8 ms/step at bs8) and one full f32 canvas copy per image on the host.
+    Only the ResNet stem consumes the 12-channel layout; Swin/ViT backbones
+    and meta-archs that pass ``batch["image"]`` to non-stem consumers keep
+    the plain canvas."""
+    mode = cfg.INPUT.LOADER_S2D
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return "resnet" in cfg.MODEL.BACKBONE.NAME and cfg.MODEL.META_ARCHITECTURE in (
+        "GeneralizedRCNN",
+        "GeneralizedRCNNRegOnly",
+        "GeneralizedRCNN_Context",
+        "ProposalNetwork",
+        "RPNComp",
+        "RetinaNet",
+        "SemanticSegmentor",
+        "PanopticFPN",
+    )
+
+
 class DatasetMapper:
     """cfg-driven mapper. ``keep_ignore=True`` reproduces
     DatasetMapperIgnore (iscrowd/ignore_qe boxes become gt_ignores)."""
@@ -64,6 +89,9 @@ class DatasetMapper:
         self.blur = cfg.INPUT.BLUR and is_train
         self.max_gt = cfg.PAD.MAX_GT_PER_IMAGE
         self.buckets = [tuple(b) for b in cfg.PAD.CANVAS_BUCKETS]
+        self.s2d = wants_loader_s2d(cfg)
+        self.pixel_mean = tuple(cfg.MODEL.PIXEL_MEAN)
+        self.pixel_std = tuple(cfg.MODEL.PIXEL_STD)
         self.rng = np.random.RandomState(seed)
 
     # ------------------------------------------------------------- parsing
@@ -135,8 +163,14 @@ class DatasetMapper:
 
         h, w = image.shape[:2]
         canvas_h, canvas_w = pick_canvas(h, w, self.buckets)
-        padded = np.zeros((canvas_h, canvas_w, 3), np.float32)
-        padded[:h, :w] = image.astype(np.float32)
+        if self.s2d:
+            image_key, padded = "image_s2d", T.s2d_canvas(
+                image, (canvas_h, canvas_w), self.pixel_mean, self.pixel_std
+            )
+        else:
+            image_key = "image"
+            padded = np.zeros((canvas_h, canvas_w, 3), np.float32)
+            padded[:h, :w] = image.astype(np.float32)
 
         # drop degenerate boxes (filter_empty_instances)
         if len(boxes):
@@ -174,7 +208,7 @@ class DatasetMapper:
         gt_scores[:n] = scores[:n]
 
         return {
-            "image": padded,
+            image_key: padded,
             "image_size": np.array([h, w], np.int32),
             "gt_boxes": gt_boxes,
             "gt_classes": gt_classes,
@@ -191,7 +225,6 @@ class DatasetMapper:
 
 
 MODEL_KEYS = (
-    "image",
     "image_size",
     "gt_boxes",
     "gt_classes",
@@ -205,11 +238,14 @@ def collate(
 ) -> Dict[str, np.ndarray]:
     """Stack same-canvas examples into the model batch contract.
     ``with_gt`` includes the gt fields in eval batches (box-correction
-    inference consumes candidates through the gt slots)."""
+    inference consumes candidates through the gt slots). The image tensor
+    key follows the mapper: "image_s2d" (production s2d pipeline) or
+    "image" (plain padded canvas)."""
     assert len({e["canvas"] for e in examples}) == 1, "mixed canvas buckets in batch"
+    image_key = "image_s2d" if "image_s2d" in examples[0] else "image"
     if train or with_gt:
-        keys = MODEL_KEYS
+        keys = (image_key,) + MODEL_KEYS
     else:
-        keys = ("image", "image_size")
+        keys = (image_key, "image_size")
     batch = {k: np.stack([e[k] for e in examples]) for k in keys}
     return batch

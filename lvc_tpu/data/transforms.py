@@ -56,7 +56,9 @@ def resize_shortest_edge(
 
 def hflip(image: np.ndarray, boxes: Optional[np.ndarray]) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     w = image.shape[1]
-    image = np.ascontiguousarray(image[:, ::-1])
+    # negative-stride view, not a copy: every consumer either pastes into a
+    # fresh canvas (strided reads are fine) or wraps in ascontiguousarray
+    image = image[:, ::-1]
     if boxes is not None and len(boxes):
         boxes = boxes.copy()
         x0 = w - boxes[:, 2]
@@ -128,3 +130,49 @@ def gaussian_blur(rng: np.random.RandomState, image: np.ndarray, sigma_range=(0.
     sigma = sigma_range[0] + rng.rand() * (sigma_range[1] - sigma_range[0])
     pil = Image.fromarray(image).filter(ImageFilter.GaussianBlur(radius=sigma))
     return np.asarray(pil)
+
+
+def s2d_canvas(
+    image: np.ndarray,
+    canvas_hw: Tuple[int, int],
+    pixel_mean: Sequence[float],
+    pixel_std: Sequence[float],
+) -> np.ndarray:
+    """Normalize + zero-pad to canvas + 3px conv-pad + 2x2 space-to-depth,
+    fused into one pass over the image (the production input tensor for the
+    ResNet s2d stem, layers.space_to_depth_conv).
+
+    Bit-identical to ``space_to_depth_host(padded_canvas, mean, std)`` where
+    ``padded_canvas`` is the image zero-padded to ``canvas_hw``, but without
+    materializing the f32 canvas or the 6 intermediate pad/transpose copies:
+    the background fills once with the normalized zero pixel and the four
+    parity planes normalize strided views of the (possibly flipped) image
+    directly into place. Output ((H+6)/2, (W+6)/2, 4*C) float32 with channel
+    order (row parity, col parity, C).
+    """
+    H, W = canvas_hw
+    assert H % 2 == 0 and W % 2 == 0, "s2d canvas needs even H, W"
+    h, w = image.shape[:2]
+    C = image.shape[2]
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    # the 3px conv border pads AFTER normalization (0.0); the canvas region
+    # beyond the image is zero pixels normalized (-mean/std) — matching both
+    # space_to_depth_host(zero_padded_canvas) and the on-device path
+    out = np.zeros(((H + 6) // 2, (W + 6) // 2, 4 * C), np.float32)
+    bg = (0.0 - mean) / std
+    # out[r, c, (a*2+b)*C + ch] = padded[2r + a, 2c + b, ch]; canvas content
+    # sits at padded[3:3+H, 3:3+W] => parity plane (a, b) covers canvas rows
+    # (1-a)::2 anchored at out row 2-a; image content is its [:ny, :nx] corner
+    for a in (0, 1):
+        sy = 1 - a
+        ny = (h - sy + 1) // 2
+        for b in (0, 1):
+            sx = 1 - b
+            nx = (w - sx + 1) // 2
+            c0 = (a * 2 + b) * C
+            plane = out[2 - a : 2 - a + H // 2, 2 - b : 2 - b + W // 2, c0 : c0 + C]
+            plane[:] = bg
+            blk = image[sy : sy + 2 * ny : 2, sx : sx + 2 * nx : 2]
+            plane[:ny, :nx] = (blk.astype(np.float32) - mean) / std
+    return out

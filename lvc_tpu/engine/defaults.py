@@ -370,8 +370,9 @@ class DefaultPredictor:
 
     def __call__(self, image_bgr: np.ndarray):
         ex = self._map_array(image_bgr)
+        key = "image_s2d" if "image_s2d" in ex else "image"
         batch = {
-            "image": ex["image"][None],
+            key: ex[key][None],
             "image_size": ex["image_size"][None],
         }
         self._ensure_state(batch)
@@ -380,13 +381,19 @@ class DefaultPredictor:
 
     def _map_array(self, image: np.ndarray):
         from lvc_tpu.data import transforms as T
-        from lvc_tpu.data.dataset_mapper import pick_canvas
+        from lvc_tpu.data.dataset_mapper import pick_canvas, wants_loader_s2d
 
         img, _, _ = T.resize_shortest_edge(
             image, None, self.cfg.INPUT.MIN_SIZE_TEST, self.cfg.INPUT.MAX_SIZE_TEST
         )
         h, w = img.shape[:2]
         ch, cw = pick_canvas(h, w, [tuple(b) for b in self.cfg.PAD.CANVAS_BUCKETS])
+        size = np.array([h, w], np.int32)
+        if wants_loader_s2d(self.cfg):
+            s2d = T.s2d_canvas(
+                img, (ch, cw), self.cfg.MODEL.PIXEL_MEAN, self.cfg.MODEL.PIXEL_STD
+            )
+            return {"image_s2d": s2d, "image_size": size}
         padded = np.zeros((ch, cw, 3), np.float32)
         padded[:h, :w] = img
-        return {"image": padded, "image_size": np.array([h, w], np.int32)}
+        return {"image": padded, "image_size": size}

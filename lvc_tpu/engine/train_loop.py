@@ -120,7 +120,10 @@ def make_eval_step(model, bf16: bool = False) -> Callable:
                 x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
             )
             params = jax.tree_util.tree_map(cast, params)
-            batch = dict(batch, image=batch["image"].astype(jnp.bfloat16))
+            batch = dict(batch)
+            for k in ("image", "image_s2d"):
+                if k in batch:
+                    batch[k] = batch[k].astype(jnp.bfloat16)
         return model.apply(
             {"params": params, "batch_stats": state.batch_stats},
             batch,

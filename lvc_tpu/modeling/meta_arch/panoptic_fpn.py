@@ -37,8 +37,9 @@ class PanopticFPN(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        images = self.preprocess(batch["image"])
-        features = self.backbone(images, train=train)
+        from lvc_tpu.modeling.meta_arch.rcnn import model_images
+
+        features = self.backbone(model_images(self, batch), train=train)
         image_sizes = batch["image_size"]
 
         sem_logits = self.sem_seg_head(features)

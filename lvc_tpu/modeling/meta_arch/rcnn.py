@@ -20,6 +20,22 @@ from lvc_tpu.modeling.proposal_generator.rpn import RPN
 from lvc_tpu.modeling.roi_heads.roi_heads import StandardROIHeads
 
 
+def model_images(module: nn.Module, batch: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """The backbone input tensor for a meta-arch with ``backbone``/
+    ``pixel_mean``/``pixel_std`` attributes. Prefers the loader-produced
+    ``image_s2d`` (already normalized + padded + space-to-depth,
+    transforms.s2d_canvas) when the backbone stem consumes it — skipping
+    the device-side normalize + relayout; otherwise normalizes the raw
+    padded canvas on device."""
+    backbone_core = getattr(module.backbone, "bottom_up", module.backbone)
+    if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):
+        return batch["image_s2d"]
+    images = batch["image"]
+    mean = jnp.asarray(module.pixel_mean, images.dtype)
+    std = jnp.asarray(module.pixel_std, images.dtype)
+    return (images - mean) / std
+
+
 class GeneralizedRCNN(nn.Module):
     """backbone -> RPN -> ROI heads.
 
@@ -50,14 +66,7 @@ class GeneralizedRCNN(nn.Module):
         return self.backbone(self.preprocess(batch["image"]), train=False)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        backbone_core = getattr(self.backbone, "bottom_up", self.backbone)
-        if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):
-            # loader already normalized + padded + space-to-depth'd the image
-            # (layers.space_to_depth_host); skip device-side preprocessing
-            images = batch["image_s2d"]
-        else:
-            images = self.preprocess(batch["image"])
-        features = self.backbone(images, train=train)
+        features = self.backbone(model_images(self, batch), train=train)
         image_sizes = batch["image_size"]
 
         gt_boxes = batch.get("gt_boxes")
@@ -138,10 +147,7 @@ class GeneralizedRCNN_Context(nn.Module):
         return self.cont_cls(x)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        mean = jnp.asarray(self.pixel_mean, batch["image"].dtype)
-        std = jnp.asarray(self.pixel_std, batch["image"].dtype)
-        images = (batch["image"] - mean) / std
-        features = self.backbone(images, train=train)
+        features = self.backbone(model_images(self, batch), train=train)
         image_sizes = batch["image_size"]
 
         if train:
@@ -204,14 +210,7 @@ class GeneralizedRCNNRegOnly(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        backbone_core = getattr(self.backbone, "bottom_up", self.backbone)
-        if "image_s2d" in batch and getattr(backbone_core, "supports_s2d_input", False):
-            # loader already normalized + padded + space-to-depth'd the image
-            # (layers.space_to_depth_host); skip device-side preprocessing
-            images = batch["image_s2d"]
-        else:
-            images = self.preprocess(batch["image"])
-        features = self.backbone(images, train=train)
+        features = self.backbone(model_images(self, batch), train=train)
         image_sizes = batch["image_size"]
 
         if train:
@@ -268,10 +267,7 @@ class ProposalNetwork(nn.Module):
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        mean = jnp.asarray(self.pixel_mean, batch["image"].dtype)
-        std = jnp.asarray(self.pixel_std, batch["image"].dtype)
-        images = (batch["image"] - mean) / std
-        features = self.backbone(images, train=train)
+        features = self.backbone(model_images(self, batch), train=train)
         proposals, objectness, valid, losses = self.proposal_generator(
             features,
             batch["image_size"],

@@ -148,8 +148,9 @@ class RetinaNet(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        images = self.preprocess(batch["image"])
-        features = self.backbone(images, train=train)
+        from lvc_tpu.modeling.meta_arch.rcnn import model_images
+
+        features = self.backbone(model_images(self, batch), train=train)
         feats = [features[f] for f in self.in_features]
         logits_lvl, deltas_lvl = self.head(feats)
         anchors_lvl = self.anchor_generator.grid_anchors([f.shape[1:3] for f in feats])

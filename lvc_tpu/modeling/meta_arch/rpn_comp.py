@@ -23,10 +23,9 @@ class RPNComp(nn.Module):
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
         assert not train, "RPNComp is inference-only (rpn_comp.py:51)"
-        mean = jnp.asarray(self.pixel_mean, batch["image"].dtype)
-        std = jnp.asarray(self.pixel_std, batch["image"].dtype)
-        images = (batch["image"] - mean) / std
-        features = self.backbone(images, train=False)
+        from lvc_tpu.modeling.meta_arch.rcnn import model_images
+
+        features = self.backbone(model_images(self, batch), train=False)
         x = features[self.out_feature]  # (B, H, W, C)
         if self.pooler == "avg":
             return jnp.mean(x, axis=(1, 2))

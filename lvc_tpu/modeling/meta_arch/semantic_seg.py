@@ -103,8 +103,9 @@ class SemanticSegmentor(nn.Module):
         return (images - mean) / std
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
-        images = self.preprocess(batch["image"])
-        features = self.backbone(images, train=train)
+        from lvc_tpu.modeling.meta_arch.rcnn import model_images
+
+        features = self.backbone(model_images(self, batch), train=train)
         logits = self.sem_seg_head(features)
         if train:
             return self.sem_seg_head.losses(logits, batch["sem_seg"])

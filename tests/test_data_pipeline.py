@@ -66,6 +66,9 @@ def synthetic_coco(tmp_path_factory):
 
 def small_cfg():
     cfg = get_cfg()
+    # these tests pin the raw padded-canvas contract; the production s2d
+    # pipeline is covered by tests/test_loader_s2d.py
+    cfg.INPUT.LOADER_S2D = "off"
     cfg.INPUT.MIN_SIZE_TEST = 64
     cfg.INPUT.MAX_SIZE_TEST = 128
     cfg.INPUT.MIN_SIZE_TRAIN = (64,)
