@@ -179,28 +179,10 @@ class DefaultTrainer:
 
     def _materialize(self, shapes, seed: int):
         """Proper random init without compiling the full init program:
-        initializers applied leaf-wise host-side."""
-        rng = np.random.RandomState(seed)
+        initializers applied leaf-wise host-side (utils/init.py)."""
+        from lvc_tpu.utils.init import materialize_variables
 
-        def fill(path, leaf):
-            name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
-            shape = leaf.shape
-            if name in ("bias", "running_mean"):
-                arr = np.zeros(shape)
-            elif name in ("weight", "running_var", "scale"):
-                arr = np.ones(shape)
-            elif name == "kernel" and len(shape) == 4:
-                # he/msra fill like the reference conv init
-                fan_out = shape[0] * shape[1] * shape[3]
-                arr = rng.normal(0, np.sqrt(2.0 / fan_out), size=shape)
-            elif len(shape) >= 2:
-                fan_in = int(np.prod(shape[:-1]))
-                arr = rng.normal(0, np.sqrt(1.0 / fan_in), size=shape)
-            else:
-                arr = np.zeros(shape)
-            return jax.numpy.asarray(arr, dtype=leaf.dtype)
-
-        return jax.tree_util.tree_map_with_path(fill, shapes)
+        return materialize_variables(shapes, seed, conv_init="he")
 
     # ----------------------------------------------------------- factories
     @classmethod
@@ -353,13 +335,12 @@ class DefaultPredictor:
 
     def _ensure_state(self, batch):
         if self.state is None:
+            from lvc_tpu.utils.init import materialize_variables
+
             variables = jax.eval_shape(
                 lambda: self.model.init({"params": jax.random.PRNGKey(0)}, batch, train=False)
             )
-            rng = np.random.RandomState(0)
-            variables = jax.tree_util.tree_map(
-                lambda s: jax.numpy.asarray(rng.normal(0, 0.01, s.shape), s.dtype), variables
-            )
+            variables = materialize_variables(variables, seed=0, conv_init="he")
             tx = build_optimizer(self.cfg, variables["params"])
             self.state = TrainState.create(variables, tx)
             if self.cfg.MODEL.WEIGHTS:
