@@ -43,18 +43,25 @@ class FPN(nn.Module):
         results = {}
         prev = None
         for f, sid in reversed(list(zip(feats, stage_ids))):
-            lateral = Conv2d(
+            lateral_conv = Conv2d(
                 self.out_channels,
                 kernel_size=1,
                 use_bias=(self.norm == ""),
                 norm=self.norm,
                 name=f"fpn_lateral{sid}",
-            )(f)
-            if prev is not None:
-                top_down = upsample_nearest_2x(prev)
-                lateral = lateral + top_down
-                if self.fuse_type == "avg":
-                    lateral = lateral / 2.0
+            )
+            if prev is not None and self.fuse_type == "sum":
+                # lateral + top-down as the conv's fused residual: one
+                # Pallas GEMM on the bf16 TPU serving path (see Conv2d)
+                lateral = lateral_conv(
+                    f, residual=upsample_nearest_2x(prev), train=train
+                )
+            else:
+                lateral = lateral_conv(f)
+                if prev is not None:
+                    lateral = lateral + upsample_nearest_2x(prev)
+                    if self.fuse_type == "avg":
+                        lateral = lateral / 2.0
             prev = lateral
             results[f"p{sid}"] = Conv2d(
                 self.out_channels,

@@ -86,13 +86,6 @@ class BottleneckBlock(nn.Module):
             activation=nn.relu,
             name="conv2",
         )(out)
-        out = Conv2d(
-            self.out_channels,
-            kernel_size=1,
-            use_bias=False,
-            norm=self.norm,
-            name="conv3",
-        )(out)
         if self.has_shortcut:
             shortcut = Conv2d(
                 self.out_channels,
@@ -104,7 +97,16 @@ class BottleneckBlock(nn.Module):
             )(x)
         else:
             shortcut = x
-        out = nn.relu(out + shortcut)
+        # conv3 + folded BN + residual add + relu in one call: on the bf16
+        # serving path this is a single fused Pallas GEMM (see Conv2d)
+        out = Conv2d(
+            self.out_channels,
+            kernel_size=1,
+            use_bias=False,
+            norm=self.norm,
+            activation=nn.relu,
+            name="conv3",
+        )(out, residual=shortcut, train=train)
         if self.dropout > 0:
             # BottleneckBlockDropout (resnet.py:214) — dropout after the add
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
@@ -138,9 +140,6 @@ class BottleneckBlockCLIP(nn.Module):
         )(out)
         if self.stride > 1:
             out = nn.avg_pool(out, (self.stride, self.stride), (self.stride, self.stride))
-        out = Conv2d(
-            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm, name="conv3"
-        )(out)
         if self.has_shortcut:
             sc = x
             if self.stride > 1:
@@ -151,7 +150,10 @@ class BottleneckBlockCLIP(nn.Module):
             )(sc)
         else:
             shortcut = x
-        return nn.relu(out + shortcut)
+        return Conv2d(
+            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm,
+            activation=nn.relu, name="conv3",
+        )(out, residual=shortcut, train=train)
 
 
 class DeformBottleneckBlock(nn.Module):
@@ -190,9 +192,6 @@ class DeformBottleneckBlock(nn.Module):
         if norm2 is not None:
             out = norm2(out)
         out = nn.relu(out)
-        out = Conv2d(
-            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm, name="conv3"
-        )(out)
         if self.has_shortcut:
             shortcut = Conv2d(
                 self.out_channels, kernel_size=1, stride=self.stride,
@@ -200,7 +199,10 @@ class DeformBottleneckBlock(nn.Module):
             )(x)
         else:
             shortcut = x
-        return nn.relu(out + shortcut)
+        return Conv2d(
+            self.out_channels, kernel_size=1, use_bias=False, norm=self.norm,
+            activation=nn.relu, name="conv3",
+        )(out, residual=shortcut, train=train)
 
 
 class ResNet(nn.Module):

@@ -64,20 +64,26 @@ class FrozenBatchNorm(nn.Module):
     features: int
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        weight = self.param("weight", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.variable(
+    def setup(self):
+        self.weight = self.param("weight", nn.initializers.ones, (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        self.running_mean = self.variable(
             "batch_stats", "running_mean", nn.initializers.zeros, None, (self.features,)
         )
-        var = self.variable(
+        self.running_var = self.variable(
             "batch_stats", "running_var", nn.initializers.ones, None, (self.features,)
         )
+
+    def folded(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """The affine this BN folds to: ``x * scale + shift`` in f32."""
+        scale = self.weight * jax.lax.rsqrt(self.running_var.value + self.eps)
+        shift = self.bias - self.running_mean.value * scale
+        return scale, shift
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # fold in f32, apply in the activation dtype (keeps bf16 activations
         # bf16 instead of promoting the whole backbone back to f32)
-        scale = weight * jax.lax.rsqrt(var.value + self.eps)
-        shift = bias - mean.value * scale
+        scale, shift = self.folded()
         return x * scale.astype(x.dtype) + shift.astype(x.dtype)
 
 
@@ -135,15 +141,22 @@ def get_norm(norm: str, features: int) -> Optional[nn.Module]:
 
 
 class _KernelHolder(nn.Module):
-    """Owns a conv kernel param at the same path nn.Conv would use, for
-    layers that apply the kernel through a transformed computation."""
+    """Owns a conv kernel (and optionally bias) param at the same paths
+    nn.Conv would use, for layers that apply the kernel through a
+    transformed computation."""
 
     shape: Tuple[int, ...]
     kernel_init: Callable
+    bias_features: int = 0
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", self.kernel_init, self.shape)
+        kernel = self.param("kernel", self.kernel_init, self.shape)
+        if self.bias_features:
+            bias = self.param("bias", self.bias_init, (self.bias_features,))
+            return kernel, bias
+        return kernel
 
 
 def space_to_depth_host(
@@ -227,7 +240,15 @@ def space_to_depth_conv(
 
 class Conv2d(nn.Module):
     """Conv with torch-style explicit symmetric padding + optional norm and
-    activation (mirrors d2's Conv2d wrapper, layers/wrappers.py)."""
+    activation (mirrors d2's Conv2d wrapper, layers/wrappers.py).
+
+    ``__call__(x, residual=...)`` computes ``act(norm(conv(x)) + residual)``
+    — the bottleneck-tail pattern. On the bf16 TPU serving path a 1x1
+    no-bias FrozenBN conv with a residual runs as one fused Pallas GEMM
+    whose epilogue applies the folded affine, the add, and the ReLU while
+    the tile is in VMEM (ops/fused_matmul.py), eliminating the residual
+    add's HBM round-trip; everywhere else the same math runs as separate
+    XLA ops."""
 
     features: int
     kernel_size: int
@@ -245,8 +266,14 @@ class Conv2d(nn.Module):
     space_to_depth: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        residual: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
         if self.space_to_depth:
+            assert residual is None, "space_to_depth stem takes no residual"
             assert (
                 self.kernel_size == 7 and self.stride == 2 and self.padding == 3
                 and self.dilation == 1 and self.groups == 1 and not self.use_bias
@@ -269,6 +296,58 @@ class Conv2d(nn.Module):
             if self.activation is not None:
                 x = self.activation(x)
             return x
+        import os
+
+        # epilogue fusions supported by the serving GEMM: folded FrozenBN
+        # (bottleneck conv3 tail) or plain bias (FPN lateral + top-down add)
+        fuse_bn = not self.use_bias and self.norm == "FrozenBN"
+        fuse_bias = self.use_bias and self.norm == ""
+        fuse = (
+            residual is not None
+            and not train  # the fused GEMM is serving-only (no VJP)
+            and os.environ.get("LVC_TPU_FUSED_RESIDUAL", "1") != "0"
+            and self.kernel_size == 1
+            and self.stride == 1
+            and self.dilation == 1
+            and self.groups == 1
+            and (fuse_bn or fuse_bias)
+            and get_compute_dtype() == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+        )
+        if fuse:
+            from lvc_tpu.ops.fused_matmul import conv1x1_affine_residual
+
+            init = self.kernel_init or nn.initializers.lecun_normal()
+            # same param paths ("conv/kernel", "conv/bias") + inits as the
+            # nn.Conv branch, so init/restore are identical whichever
+            # branch traces
+            if fuse_bn:
+                kernel = _KernelHolder(
+                    (1, 1, x.shape[-1], self.features), init, name="conv"
+                )()
+                norm = FrozenBatchNorm(self.features, name="FrozenBatchNorm_0")
+                scale, shift = norm.folded()
+            else:
+                kernel, shift = _KernelHolder(
+                    (1, 1, x.shape[-1], self.features),
+                    init,
+                    bias_features=self.features,
+                    bias_init=self.bias_init or nn.initializers.zeros,
+                    name="conv",
+                )()
+                scale = jnp.ones((self.features,), jnp.float32)
+            dtype = get_compute_dtype()
+            y = conv1x1_affine_residual(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                scale,
+                shift,
+                residual.astype(dtype),
+                relu=self.activation is nn.relu,
+            )
+            if self.activation is not None and self.activation is not nn.relu:
+                y = self.activation(y)
+            return y
         pad = self.padding
         kwargs = {}
         if self.kernel_init is not None:
@@ -290,6 +369,8 @@ class Conv2d(nn.Module):
         norm = get_norm(self.norm, self.features)
         if norm is not None:
             x = norm(x)
+        if residual is not None:
+            x = x + residual
         if self.activation is not None:
             x = self.activation(x)
         return x
