@@ -7,6 +7,7 @@ checkpoints spatially.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -296,8 +297,6 @@ class Conv2d(nn.Module):
             if self.activation is not None:
                 x = self.activation(x)
             return x
-        import os
-
         # epilogue fusions supported by the serving GEMM: folded FrozenBN
         # (bottleneck conv3 tail) or plain bias (FPN lateral + top-down add)
         fuse_bn = not self.use_bias and self.norm == "FrozenBN"
