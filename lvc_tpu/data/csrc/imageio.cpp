@@ -223,4 +223,57 @@ uint8_t* lvc_load_resize(const char* path, int short_edge, int max_size,
     return out;
 }
 
+// Fused normalize + zero-pad-to-canvas + 3px conv pad + 2x2 space-to-depth
+// (the production input tensor for the ResNet s2d stem). Bit-identical to
+// the numpy path in data/transforms.py:s2d_canvas — (float(x) - mean)/std
+// in f32 — but a single tight pass instead of per-parity strided numpy
+// copies (which dominated the host pipeline at ~39 ms/canvas).
+//   img: u8 (h, w, c) C-contiguous; canvas (H, W) even, h<=H, w<=W
+//   out: f32 ((H+6)/2, (W+6)/2, 4c), caller-zeroed (the 3px conv border
+//        parity slots outside the canvas stay 0.0 = post-normalize pad)
+// Channel order (row parity a, col parity b, c): slot = (a*2+b)*c + ch.
+void lvc_s2d_normalize(const uint8_t* img, int h, int w, int c,
+                       int H, int W, const float* mean, const float* stdv,
+                       float* out) {
+    const int OH = (H + 6) / 2, OW = (W + 6) / 2;
+    float bg[8], inv_used = 0;  // c <= 8 in practice (RGB)
+    (void)inv_used;
+    for (int ch = 0; ch < c; ++ch) bg[ch] = (0.0f - mean[ch]) / stdv[ch];
+    for (int a = 0; a < 2; ++a) {
+        const int sy = 1 - a;                 // first source row of parity a
+        const int ny = (h - sy + 1) / 2;      // image rows in this plane
+        const int py0 = 2 - a;                // first canvas out-row
+        const int pny = H / 2;                // canvas rows in this plane
+        for (int b = 0; b < 2; ++b) {
+            const int sx = 1 - b;
+            const int nx = (w - sx + 1) / 2;
+            const int px0 = 2 - b;
+            const int pnx = W / 2;
+            const int c0 = (a * 2 + b) * c;
+            for (int i = 0; i < pny; ++i) {
+                float* orow = out + (size_t(py0 + i) * OW + px0) * 4 * c + c0;
+                if (i < ny) {
+                    const uint8_t* srow = img + (size_t(sy + 2 * i) * w + sx) * c;
+                    int j = 0;
+                    for (; j < nx; ++j) {
+                        const uint8_t* s = srow + size_t(2 * j) * c;
+                        float* o = orow + size_t(j) * 4 * c;
+                        for (int ch = 0; ch < c; ++ch)
+                            o[ch] = (float(s[ch]) - mean[ch]) / stdv[ch];
+                    }
+                    for (; j < pnx; ++j) {  // canvas right of the image
+                        float* o = orow + size_t(j) * 4 * c;
+                        for (int ch = 0; ch < c; ++ch) o[ch] = bg[ch];
+                    }
+                } else {  // canvas below the image
+                    for (int j = 0; j < pnx; ++j) {
+                        float* o = orow + size_t(j) * 4 * c;
+                        for (int ch = 0; ch < c; ++ch) o[ch] = bg[ch];
+                    }
+                }
+            }
+        }
+    }
+}
+
 }  // extern "C"

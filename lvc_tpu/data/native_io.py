@@ -52,6 +52,12 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ]
         lib.lvc_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        lib.lvc_s2d_normalize.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _lib = lib
     except Exception as e:  # pragma: no cover - build-environment dependent
         logger.warning("native imageio unavailable (%s); using PIL", e)
@@ -106,3 +112,31 @@ def resize(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), dh, dw,
     )
     return out[..., 0] if c == 1 else out
+
+
+def s2d_normalize(
+    img: np.ndarray,
+    canvas_hw: Tuple[int, int],
+    pixel_mean,
+    pixel_std,
+) -> np.ndarray:
+    """Fused normalize + pad-to-canvas + conv-pad + 2x2 space-to-depth of a
+    uint8 HWC image (bit-identical to transforms.s2d_canvas's numpy path).
+    Raises ImportError when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise ImportError("native imageio library not available")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    H, W = canvas_hw
+    mean = np.ascontiguousarray(pixel_mean, np.float32)
+    std = np.ascontiguousarray(pixel_std, np.float32)
+    assert mean.shape == (c,) and std.shape == (c,) and c <= 8
+    out = np.zeros(((H + 6) // 2, (W + 6) // 2, 4 * c), np.float32)
+    lib.lvc_s2d_normalize(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c, H, W,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out

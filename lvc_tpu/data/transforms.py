@@ -156,6 +156,12 @@ def s2d_canvas(
     C = image.shape[2]
     mean = np.asarray(pixel_mean, np.float32)
     std = np.asarray(pixel_std, np.float32)
+    if image.dtype == np.uint8 and C <= 8:
+        # native single-pass version (bit-identical; ~10x the numpy path)
+        from lvc_tpu.data import native_io
+
+        if native_io.available():
+            return native_io.s2d_normalize(image, (H, W), mean, std)
     # the 3px conv border pads AFTER normalization (0.0); the canvas region
     # beyond the image is zero pixels normalized (-mean/std) — matching both
     # space_to_depth_host(zero_padded_canvas) and the on-device path

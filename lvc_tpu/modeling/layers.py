@@ -175,19 +175,34 @@ def space_to_depth_host(
     import numpy as np
 
     batched = img.ndim == 4
-    x = np.asarray(img, np.float32)
-    x = (x - np.asarray(pixel_mean, np.float32)) / np.asarray(pixel_std, np.float32)
-    pad = ((0, 0), (3, 3), (3, 3), (0, 0)) if batched else ((3, 3), (3, 3), (0, 0))
-    x = np.pad(x, pad)
+    x = np.asarray(img)
     if not batched:
         x = x[None]
-    B, Hp, Wp, C = x.shape
-    assert Hp % 2 == 0 and Wp % 2 == 0, "space_to_depth_host needs even H, W"
-    out = (
-        x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
-        .transpose(0, 1, 3, 2, 4, 5)
-        .reshape(B, Hp // 2, Wp // 2, 4 * C)
-    )
+    B, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, "space_to_depth_host needs even H, W"
+    mean = np.asarray(pixel_mean, np.float32)
+    std = np.asarray(pixel_std, np.float32)
+    Hp, Wp = H + 6, W + 6
+    # one output allocation; each (row-parity, col-parity) slot is a strided
+    # quarter-size normalize-copy (the naive normalize -> pad -> transpose
+    # chain costs three full-size copies and dominated the host pipeline).
+    # zeros outside the valid region == the pad value in normalized space.
+    out = np.zeros((B, Hp // 2, Wp // 2, 4 * C), np.float32)
+    for p in range(2):
+        for q in range(2):
+            # padded coords (2i + p, 2j + q) map to source (2i + p - 3,
+            # 2j + q - 3); first valid i/j where the source index >= 0
+            i0 = (3 - p + 1) // 2
+            j0 = (3 - q + 1) // 2
+            r0 = 2 * i0 + p - 3
+            c0 = 2 * j0 + q - 3
+            src = x[:, r0:H:2, c0:W:2]
+            sl = slice((p * 2 + q) * C, (p * 2 + q) * C + C)
+            dst = out[:, i0 : i0 + src.shape[1], j0 : j0 + src.shape[2], sl]
+            # divide (not multiply-by-reciprocal): bitwise identical to the
+            # composed normalize -> pad -> space-to-depth reference, which
+            # the loader-vs-device equivalence tests pin exactly
+            np.divide(np.subtract(src, mean, dtype=np.float32), std, out=dst)
     return out if batched else out[0]
 
 
