@@ -46,9 +46,18 @@ def build_shared_lib(name: str, src_path: str, link_libs: Sequence[str] = ()) ->
             return lib_path
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=out_dir)
         os.close(fd)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src_path]
-        cmd += [f"-l{l}" for l in link_libs]
-        subprocess.run(cmd, check=True, capture_output=True)
+        # -march=native: the .so is built per machine into a local cache
+        # (never shipped), so host-specific SIMD is safe; retry portable if
+        # the toolchain rejects it
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, src_path]
+        libs = [f"-l{l}" for l in link_libs]
+        try:
+            subprocess.run(
+                base[:2] + ["-march=native"] + base[2:] + libs,
+                check=True, capture_output=True,
+            )
+        except subprocess.CalledProcessError:
+            subprocess.run(base + libs, check=True, capture_output=True)
         os.replace(tmp, lib_path)
         return lib_path
     except Exception as e:  # pragma: no cover - build-environment dependent
