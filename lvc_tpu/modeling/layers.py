@@ -318,7 +318,6 @@ class Conv2d(nn.Module):
         fuse_bias = self.use_bias and self.norm == ""
         fuse = (
             residual is not None
-            and not train  # the fused GEMM is serving-only (no VJP)
             and os.environ.get("LVC_TPU_FUSED_RESIDUAL", "1") != "0"
             and self.kernel_size == 1
             and self.stride == 1
@@ -358,6 +357,9 @@ class Conv2d(nn.Module):
                 shift,
                 residual.astype(dtype),
                 relu=self.activation is nn.relu,
+                # train (AMP forward) uses the custom-VJP variant: Pallas
+                # forward, exact XLA-dot backward (ops/fused_matmul.py)
+                trainable=train,
             )
             if self.activation is not None and self.activation is not nn.relu:
                 y = self.activation(y)

@@ -91,6 +91,49 @@ def matmul_affine_residual(
     )(x, w, scale, shift, residual)
 
 
+# --------------------------------------------------------------- trainable
+# custom-VJP variant: the Pallas GEMM runs the forward; the backward is
+# plain XLA dots (the epilogue's VJP recovers the pre-affine product from
+# the saved output, so no extra forward GEMM and no saved intermediate):
+#   z = (x @ w) * scale + shift + res;  y = relu(z)
+#   dz = g * 1{z > 0};  dx = (dz*scale) @ w^T;  dw = x^T @ (dz*scale)
+#   dscale = sum(dz * (y - shift - res) / scale);  dshift = sum(dz);  dres = dz
+# (where z <= 0, dz = 0, so the clipped region contributes nothing)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def matmul_affine_residual_trainable(x, w, scale, shift, residual, relu=True, interpret=False):
+    return matmul_affine_residual(x, w, scale, shift, residual, relu=relu, interpret=interpret)
+
+
+def _trainable_fwd(x, w, scale, shift, residual, relu, interpret):
+    y = matmul_affine_residual(x, w, scale, shift, residual, relu=relu, interpret=interpret)
+    return y, (x, w, scale, shift, residual, y)
+
+
+def _trainable_bwd(relu, interpret, saved, g):
+    x, w, scale, shift, residual, y = saved
+    g = g.astype(jnp.float32)
+    yf = y.astype(jnp.float32)
+    if relu:
+        g = jnp.where(yf > 0, g, 0.0)
+    gs = (g * scale).astype(x.dtype)
+    dx = jax.lax.dot_general(
+        gs, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, gs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(w.dtype)
+    dot = (yf - shift - residual.astype(jnp.float32)) / scale
+    dscale = jnp.sum(g * dot, axis=0).astype(scale.dtype)
+    dshift = jnp.sum(g, axis=0).astype(shift.dtype)
+    dres = g.astype(residual.dtype)
+    return dx, dw, dscale, dshift, dres
+
+
+matmul_affine_residual_trainable.defvjp(_trainable_fwd, _trainable_bwd)
+
+
 def conv1x1_affine_residual(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -99,21 +142,25 @@ def conv1x1_affine_residual(
     residual: jnp.ndarray,
     relu: bool = True,
     interpret: bool = False,
+    trainable: bool = False,
 ) -> jnp.ndarray:
     """NHWC wrapper: x (B, H, W, K), kernel (1, 1, K, N) or (K, N),
-    residual (B, H, W, N) -> (B, H, W, N)."""
+    residual (B, H, W, N) -> (B, H, W, N). ``trainable`` routes through the
+    custom-VJP variant (Pallas forward, XLA-dot backward)."""
     if kernel.ndim == 4:
         assert kernel.shape[:2] == (1, 1), kernel.shape
         kernel = kernel[0, 0]
     B, H, W, K = x.shape
     N = kernel.shape[1]
-    out = matmul_affine_residual(
-        x.reshape(B * H * W, K),
-        kernel,
-        scale,
-        shift,
-        residual.reshape(B * H * W, N),
-        relu=relu,
-        interpret=interpret,
-    )
+    x2d = x.reshape(B * H * W, K)
+    res2d = residual.reshape(B * H * W, N)
+    if trainable:
+        # custom_vjp nondiff args must be positional
+        out = matmul_affine_residual_trainable(
+            x2d, kernel, scale, shift, res2d, relu, interpret
+        )
+    else:
+        out = matmul_affine_residual(
+            x2d, kernel, scale, shift, res2d, relu=relu, interpret=interpret
+        )
     return out.reshape(B, H, W, N)

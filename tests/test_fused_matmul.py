@@ -106,3 +106,85 @@ def test_bottleneck_param_tree_unchanged():
     assert set(variables["batch_stats"]["conv3"]["FrozenBatchNorm_0"]) == {
         "running_mean", "running_var",
     }
+
+
+@pytest.mark.parametrize("relu", [True, False])
+def test_trainable_vjp_matches_composition_grads(relu):
+    """custom-VJP fused GEMM: grads for every input must equal jax.grad of
+    the unfused composition (f32, interpret-mode forward)."""
+    from lvc_tpu.ops.fused_matmul import matmul_affine_residual_trainable
+
+    rng = np.random.RandomState(3)
+    M, K, N = 96, 32, 128
+    x = jnp.asarray(rng.randn(M, K), jnp.float32)
+    w = jnp.asarray(rng.randn(K, N) * 0.2, jnp.float32)
+    scale = jnp.asarray(rng.rand(N) + 0.5, jnp.float32)
+    shift = jnp.asarray(rng.randn(N) * 0.3, jnp.float32)
+    res = jnp.asarray(rng.randn(M, N), jnp.float32)
+    cot = jnp.asarray(rng.randn(M, N), jnp.float32)
+
+    def composed(x, w, scale, shift, res):
+        z = x @ w * scale + shift + res
+        if relu:
+            z = jax.nn.relu(z)
+        return jnp.sum(z * cot)
+
+    def fused(x, w, scale, shift, res):
+        y = matmul_affine_residual_trainable(x, w, scale, shift, res, relu, True)
+        return jnp.sum(y * cot)
+
+    ref = jax.grad(composed, argnums=(0, 1, 2, 3, 4))(x, w, scale, shift, res)
+    got = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(x, w, scale, shift, res)
+    for name, r, g in zip(("dx", "dw", "dscale", "dshift", "dres"), ref, got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=2e-4, rtol=2e-5, err_msg=name
+        )
+
+
+def test_trainable_vjp_through_bottleneck_train_mode():
+    """BottleneckBlock in train mode routes through the trainable fused GEMM
+    when the serving gates are spoofed; its param grads must match the plain
+    XLA path."""
+    import lvc_tpu.modeling.layers as L
+    import lvc_tpu.ops.fused_matmul as fm
+    from lvc_tpu.modeling.backbone.resnet import BottleneckBlock
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 32), jnp.float32)
+    cot_shape = (1, 8, 8, 64)
+    cot = jnp.asarray(rng.randn(*cot_shape), jnp.float32)
+    block = BottleneckBlock(out_channels=64, bottleneck_channels=16, has_shortcut=True)
+    v = block.init(jax.random.PRNGKey(0), x)
+    params, rest = v["params"], {k: v[k] for k in v if k != "params"}
+
+    def loss(params, spoof):
+        if spoof:
+            orig = jax.default_backend
+            jax.default_backend = lambda: "tpu"
+        try:
+            with L.compute_dtype_scope(jnp.bfloat16):
+                y = block.apply({"params": params, **rest}, x, train=True)
+        finally:
+            if spoof:
+                jax.default_backend = orig
+        return jnp.sum(y.astype(jnp.float32) * cot)
+
+    orig_impl = fm.conv1x1_affine_residual
+    fm.conv1x1_affine_residual = lambda *a, **k: orig_impl(*a, **{**k, "interpret": True})
+    try:
+        g_fused = jax.grad(loss)(params, True)
+        g_plain = jax.grad(loss)(params, False)
+    finally:
+        fm.conv1x1_affine_residual = orig_impl
+
+    flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
+    flat_p = dict(
+        (jax.tree_util.keystr(p), l) for p, l in jax.tree_util.tree_leaves_with_path(g_plain)
+    )
+    for path, leaf in flat_f:
+        ref = flat_p[jax.tree_util.keystr(path)]
+        a, b = np.asarray(leaf, np.float32), np.asarray(ref, np.float32)
+        denom = np.abs(b).max() + 1e-3
+        assert np.abs(a - b).max() / denom < 0.06, (
+            jax.tree_util.keystr(path), np.abs(a - b).max(), denom
+        )
