@@ -37,17 +37,33 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def make_train_step(model, tx, mixed_precision: bool = False) -> Callable:
+def make_train_step(
+    model, tx, mixed_precision: bool = False, axis_name: str = None
+) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``mixed_precision``: master params stay f32 in the state; the forward
     sees bf16 copies (convs/matmuls run on the MXU in bf16), loss math is
     f32 (fast_rcnn_losses / RPN losses cast logits up), and the cast's VJP
     returns f32 gradients accumulated against the f32 masters — the
-    SOLVER.AMP.ENABLED design from VERDICT r1 next #7."""
+    SOLVER.AMP.ENABLED design from VERDICT r1 next #7.
+
+    ``axis_name``: set when the step runs per-shard inside shard_map over a
+    data-parallel mesh — gradients and metrics are pmean'd over the axis,
+    per-image sampling keys fold in the global image position (so an
+    n-device step samples identically to the single-device step on the same
+    global batch), and the dropout key decorrelates across shards."""
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        from contextlib import nullcontext
+
+        from lvc_tpu.modeling.sampling import sampling_axis_scope
+
         rng_sampling, rng_dropout = jax.random.split(jax.random.fold_in(rng, state.step))
+        if axis_name is not None:
+            rng_dropout = jax.random.fold_in(
+                rng_dropout, jax.lax.axis_index(axis_name)
+            )
 
         def loss_fn(params):
             from contextlib import nullcontext
@@ -68,7 +84,10 @@ def make_train_step(model, tx, mixed_precision: bool = False) -> Callable:
                 # layers read the compute dtype at trace time; without this
                 # the f32 layer dtype would promote the bf16 casts right back
                 scope = compute_dtype_scope(jnp.bfloat16)
-            with scope:
+            sampling_scope = (
+                sampling_axis_scope(axis_name) if axis_name else nullcontext()
+            )
+            with scope, sampling_scope:
                 losses = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     fwd_batch,
@@ -80,6 +99,18 @@ def make_train_step(model, tx, mixed_precision: bool = False) -> Callable:
             return total, losses
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if axis_name is not None:
+            # Data-parallel all-reduce. Every loss normalizer goes through
+            # sampling.global_ratio (psum of numerator and denominator), so
+            # each shard's loss VALUE is already the global loss; shard_map
+            # autodiff w.r.t. the replicated params then inserts the
+            # gradient all-reduce itself (the transpose of broadcasting an
+            # invariant operand into shard-varying compute is a psum) — an
+            # explicit psum here would double-count by the axis size.
+            # Metrics pmean is a no-op for the globalized losses and
+            # averages any shard-local aux metric.
+            total = jax.lax.pmean(total, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params, opt_state=opt_state)
@@ -93,18 +124,31 @@ def make_train_step(model, tx, mixed_precision: bool = False) -> Callable:
 def make_data_parallel_train_step(
     model, tx, mesh: Mesh, mixed_precision: bool = False
 ) -> Callable:
-    """jit the train step over the mesh: batch sharded on 'data', state
-    replicated. The gradient all-reduce is inserted by XLA (replicated
-    output sharding on params forces a psum over the data axis)."""
-    step = make_train_step(model, tx, mixed_precision=mixed_precision)
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        step,
-        in_shardings=(replicated, batch_sharded, replicated),
-        out_shardings=(replicated, replicated),
-        donate_argnums=(0,),
+    """jit the train step over the mesh via shard_map: batch sharded on
+    'data', state replicated, per-shard step with an explicit gradient
+    pmean (the reference's DDP all-reduce).
+
+    shard_map (manual partitioning) rather than GSPMD pjit because the hot
+    path contains Mosaic/Pallas kernels (RoIAlign pool, fused residual
+    GEMM), which XLA cannot automatically partition — under multi-device
+    GSPMD they fail to lower ("wrap the call in a shard_map",
+    jax/_src/tpu_custom_call.py). Per-image sampling stays decomposition-
+    invariant (see make_train_step axis_name), so an n-device step matches
+    the single-device step on the same global batch."""
+    step = make_train_step(
+        model, tx, mixed_precision=mixed_precision, axis_name="data"
     )
+    smapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P()),
+        out_specs=(P(), P()),
+        # replication tracking ON: it is what gives psum its correct
+        # transpose in autodiff (check_vma=False would double-count the
+        # gradient of every global_ratio psum by the axis size)
+        check_vma=True,
+    )
+    return jax.jit(smapped, donate_argnums=(0,))
 
 
 def make_eval_step(model, bf16: bool = False) -> Callable:

@@ -12,6 +12,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 from lvc_tpu.modeling.backbone.fpn import FPN, fpn_strides
@@ -160,7 +162,7 @@ class GeneralizedRCNN_Context(nn.Module):
             )
             z = logits
             bce = jnp.maximum(z, 0) - z * mask + jnp.log1p(jnp.exp(-jnp.abs(z)))
-            losses = {"loss_context": jnp.mean(bce)}
+            losses = {"loss_context": global_ratio(jnp.sum(bce), jnp.asarray(bce.size, jnp.float32))}
             if not self.images_only:
                 proposals, _, prop_valid, rpn_losses = self.proposal_generator(
                     features, image_sizes, batch["gt_boxes"], batch["gt_valid"], train=True

@@ -18,6 +18,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 from lvc_tpu.modeling.anchors import AnchorGenerator
@@ -207,13 +209,13 @@ class RetinaNet(nn.Module):
         cls_loss = sigmoid_focal_loss(
             logits, onehot, self.focal_loss_alpha, self.focal_loss_gamma
         ).sum(-1)
-        loss_cls = jnp.sum(jnp.where(valid, cls_loss, 0.0)) / num_pos
+        loss_cls = global_ratio(jnp.sum(jnp.where(valid, cls_loss, 0.0)), num_pos)
 
         gt_deltas = self.box2box.get_deltas(
             jnp.broadcast_to(anchors, deltas.shape), matched_gt
         )
         reg = smooth_l1(deltas, gt_deltas, self.smooth_l1_beta).sum(-1)
-        loss_box_reg = jnp.sum(jnp.where(fg, reg, 0.0)) / num_pos
+        loss_box_reg = global_ratio(jnp.sum(jnp.where(fg, reg, 0.0)), num_pos)
         return {"loss_cls": loss_cls, "loss_box_reg": loss_box_reg}
 
     # ------------------------------------------------------------- inference

@@ -14,6 +14,8 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 
@@ -80,8 +82,8 @@ class SemSegFPNHead(nn.Module):
         safe = jnp.clip(targets, 0, self.num_classes - 1)
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-        n = jnp.maximum(jnp.sum(valid), 1)
-        return {"loss_sem_seg": jnp.sum(jnp.where(valid, ce, 0.0)) / n * self.loss_weight}
+        loss = global_ratio(jnp.sum(jnp.where(valid, ce, 0.0)), jnp.sum(valid))
+        return {"loss_sem_seg": loss * self.loss_weight}
 
 
 class SemanticSegmentor(nn.Module):

@@ -18,7 +18,7 @@ import flax.linen as nn
 from lvc_tpu.modeling.anchors import AnchorGenerator
 from lvc_tpu.modeling.box_regression import Box2BoxTransform
 from lvc_tpu.modeling.matcher import Matcher
-from lvc_tpu.modeling.sampling import subsample_labels
+from lvc_tpu.modeling.sampling import global_ratio, per_image_keys, subsample_labels
 from lvc_tpu.ops.nms import nms_mask, masked_topk, NEG_INF
 from lvc_tpu.structures import boxes as box_ops
 
@@ -153,7 +153,7 @@ class RPN(nn.Module):
         )  # (B, R, 4)
 
         rng = self.make_rng("sampling")
-        keys = jax.random.split(rng, B)
+        keys = per_image_keys(rng, B)
 
         def label_one(key, gt_b, gt_v):
             iou = box_ops.pairwise_iou(gt_b, anchors)  # (G, R)
@@ -187,10 +187,12 @@ class RPN(nn.Module):
         )
         objectness_loss = jnp.sum(jnp.where(slot_valid, bce, 0.0))
 
-        normalizer = self.batch_size_per_image * B
+        # constant per-image normalizer (reference rpn.py:381-383); summed
+        # over the data axis so the DP loss equals the single-device loss
+        normalizer = jnp.asarray(self.batch_size_per_image * B, jnp.float32)
         return {
-            "loss_rpn_cls": objectness_loss / normalizer * self.loss_weight,
-            "loss_rpn_loc": localization_loss / normalizer * self.loss_weight,
+            "loss_rpn_cls": global_ratio(objectness_loss, normalizer) * self.loss_weight,
+            "loss_rpn_loc": global_ratio(localization_loss, normalizer) * self.loss_weight,
         }
 
     # ------------------------------------------------------------- proposals

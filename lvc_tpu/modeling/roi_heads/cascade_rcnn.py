@@ -17,6 +17,8 @@ from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 from lvc_tpu.modeling.box_regression import Box2BoxTransform
@@ -61,8 +63,7 @@ def ubbr_box_loss(
         loss = jnp.maximum(loss_after - lambda_ * loss_before, 0.0)
     else:
         loss = loss_after
-    n_fg = jnp.maximum(jnp.sum(fg), 1)
-    return jnp.sum(jnp.where(fg, loss, 0.0)) / n_fg
+    return global_ratio(jnp.sum(jnp.where(fg, loss, 0.0)), jnp.sum(fg))
 
 
 class CascadeROIHeads(StandardROIHeads):

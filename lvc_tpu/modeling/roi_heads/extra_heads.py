@@ -13,6 +13,8 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 from lvc_tpu.modeling.backbone.resnet import BottleneckBlock
@@ -248,6 +250,7 @@ class StandardROIHeadsCascadeBBox(StandardROIHeads):
         from lvc_tpu.modeling.roi_heads.fast_rcnn import smooth_l1
 
         reg = smooth_l1(extra_deltas, gt_deltas, self.smooth_l1_beta).sum(-1)
-        n = jnp.maximum(jnp.sum(sampled.valid), 1)
-        losses["loss_box_reg_branch"] = jnp.sum(jnp.where(fg, reg, 0.0)) / n
+        losses["loss_box_reg_branch"] = global_ratio(
+            jnp.sum(jnp.where(fg, reg, 0.0)), jnp.sum(sampled.valid)
+        )
         return losses, sampled

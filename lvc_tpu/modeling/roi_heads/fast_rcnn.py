@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from lvc_tpu.modeling.box_regression import Box2BoxTransform
+from lvc_tpu.modeling.sampling import global_ratio
 from lvc_tpu.ops.nms import batched_nms_mask, masked_topk, NEG_INF
 from lvc_tpu.structures import boxes as box_ops
 
@@ -140,15 +141,14 @@ def fast_rcnn_losses(
     # loss math always in f32 (mixed-precision runs emit bf16 logits)
     class_logits = class_logits.astype(jnp.float32)
     proposal_deltas = proposal_deltas.astype(jnp.float32)
-    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    n_valid = jnp.sum(valid)
 
     # classification: softmax CE; ignore (-1) and padding rows masked out
     ce_valid = valid & (gt_classes >= 0)
     safe_cls = jnp.clip(gt_classes, 0, num_classes)
     logp = jax.nn.log_softmax(class_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, safe_cls[:, None], axis=-1)[:, 0]
-    n_ce = jnp.maximum(jnp.sum(ce_valid), 1)
-    loss_cls = jnp.sum(jnp.where(ce_valid, ce, 0.0)) / n_ce
+    loss_cls = global_ratio(jnp.sum(jnp.where(ce_valid, ce, 0.0)), jnp.sum(ce_valid))
 
     # regression: fg rows only, class-specific delta columns
     fg = ce_valid & (gt_classes >= 0) & (gt_classes < num_classes)
@@ -169,7 +169,7 @@ def fast_rcnn_losses(
         reg = 1.0 - box_ops.pairwise_giou(pred_boxes, gt_boxes)
     else:
         raise ValueError(box_reg_loss_type)
-    loss_box_reg = jnp.sum(jnp.where(fg, reg, 0.0)) / n_valid
+    loss_box_reg = global_ratio(jnp.sum(jnp.where(fg, reg, 0.0)), n_valid)
     return {"loss_cls": loss_cls, "loss_box_reg": loss_box_reg}
 
 

@@ -13,6 +13,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 
@@ -73,8 +75,8 @@ def keypoint_rcnn_loss(
     flat = kp_logits.reshape(S, M * M, K).transpose(0, 2, 1)  # (S, K, M*M)
     logp = jax.nn.log_softmax(flat, axis=-1)
     ce = -jnp.take_along_axis(logp, targets[:, :, None], axis=-1)[..., 0]  # (S, K)
-    n = jnp.maximum(jnp.sum(valid), 1) if normalizer is None else normalizer
-    return jnp.sum(jnp.where(valid, ce, 0.0)) / n
+    n = jnp.sum(valid).astype(jnp.float32) if normalizer is None else jnp.asarray(normalizer, jnp.float32)
+    return global_ratio(jnp.sum(jnp.where(valid, ce, 0.0)), n)
 
 
 def keypoint_rcnn_inference(

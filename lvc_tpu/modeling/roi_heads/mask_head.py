@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.modeling.sampling import global_ratio
 import flax.linen as nn
 
 
@@ -98,8 +100,7 @@ def mask_rcnn_loss(
     target = (gt_mask_crops > 0.5).astype(logits.dtype)
     bce = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     per_roi = bce.mean(axis=(1, 2))
-    n = jnp.maximum(jnp.sum(fg), 1)
-    return jnp.sum(jnp.where(fg, per_roi, 0.0)) / n
+    return global_ratio(jnp.sum(jnp.where(fg, per_roi, 0.0)), jnp.sum(fg))
 
 
 def mask_rcnn_inference(

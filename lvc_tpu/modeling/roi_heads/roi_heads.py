@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from lvc_tpu.modeling.box_regression import Box2BoxTransform
 from lvc_tpu.modeling.matcher import Matcher
-from lvc_tpu.modeling.sampling import subsample_labels
+from lvc_tpu.modeling.sampling import per_image_keys, subsample_labels
 from lvc_tpu.modeling.roi_heads.box_head import FastRCNNConvFCHead
 from lvc_tpu.modeling.roi_heads.fast_rcnn import (
     CosineSimOutputLayers,
@@ -167,7 +167,7 @@ class StandardROIHeads(nn.Module):
         if gt_ignores is None:
             gt_ignores = jnp.zeros(gt_valid.shape, bool)
 
-        keys = jax.random.split(rng, B)
+        keys = per_image_keys(rng, B)
         pos_threshold = self.iou_thresholds[0]
 
         def per_image(key, props, pvalid, gtb, gtc, gtv, gti):

@@ -19,7 +19,7 @@ import flax.linen as nn
 
 from lvc_tpu.modeling.box_regression import Box2BoxTransformRotated
 from lvc_tpu.modeling.matcher import Matcher
-from lvc_tpu.modeling.sampling import subsample_labels
+from lvc_tpu.modeling.sampling import per_image_keys, subsample_labels
 from lvc_tpu.modeling.roi_heads.box_head import FastRCNNConvFCHead
 from lvc_tpu.modeling.roi_heads.fast_rcnn import (
     Detections,
@@ -154,7 +154,7 @@ class RROIHeads(nn.Module):
         if self.proposal_append_gt:
             proposals = jnp.concatenate([proposals, gt_boxes], axis=1)
             proposal_valid = jnp.concatenate([proposal_valid, gt_valid], axis=1)
-        keys = jax.random.split(rng, B)
+        keys = per_image_keys(rng, B)
 
         def per_image(key, props, pvalid, gtb, gtc, gtv):
             iou = rbox_ops.pairwise_iou_rotated(gtb, props)

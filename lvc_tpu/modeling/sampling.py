@@ -8,10 +8,63 @@ layout: positives occupy the first ``num_pos`` slots, negatives the next
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Per-image sampling keys, invariant to the data-parallel decomposition.
+#
+# Modules derive one PRNG key per image. Under shard_map each shard traces
+# with its LOCAL batch, so `jax.random.split(rng, B_local)` would repeat the
+# same keys on every shard; instead keys fold in the GLOBAL image position.
+# The data axis name is published at trace time by the DP train step
+# (engine/train_loop.py) — outside shard_map the offset is zero, so the
+# single-device step and an n-device step sample identically per image.
+# ---------------------------------------------------------------------------
+_SAMPLING_AXIS: Optional[str] = None
+
+
+class sampling_axis_scope:
+    """Trace-time context naming the mesh axis the batch is sharded on."""
+
+    def __init__(self, axis_name: Optional[str]):
+        self._axis = axis_name
+
+    def __enter__(self):
+        global _SAMPLING_AXIS
+        self._saved = _SAMPLING_AXIS
+        _SAMPLING_AXIS = self._axis
+        return self
+
+    def __exit__(self, *exc):
+        global _SAMPLING_AXIS
+        _SAMPLING_AXIS = self._saved
+        return False
+
+
+def per_image_keys(rng: jax.Array, batch_size: int) -> jax.Array:
+    """(batch_size, key) array: fold_in(rng, global image position)."""
+    pos = jnp.arange(batch_size)
+    if _SAMPLING_AXIS is not None:
+        pos = pos + jax.lax.axis_index(_SAMPLING_AXIS) * batch_size
+    return jax.vmap(lambda p: jax.random.fold_in(rng, p))(pos)
+
+
+def global_ratio(num: jnp.ndarray, den: jnp.ndarray, min_den: float = 1.0) -> jnp.ndarray:
+    """``num / max(den, min_den)`` with both terms summed over the data
+    axis when inside the DP shard_map: every loss normalizer goes through
+    this, so each shard computes the identical GLOBAL loss value (the
+    n-device step is bitwise-decomposition-invariant, modulo reduction
+    order, instead of the reference DDP's mean of per-rank-normalized
+    losses). The matching gradient all-reduce is a psum (each shard's
+    backward produces only its local contribution to the global ratio) —
+    see make_train_step."""
+    if _SAMPLING_AXIS is not None:
+        num = jax.lax.psum(num, _SAMPLING_AXIS)
+        den = jax.lax.psum(den, _SAMPLING_AXIS)
+    return num / jnp.maximum(den, min_den)
 
 
 def subsample_labels(
