@@ -31,8 +31,9 @@ def build_backbone(cfg):
     raise ValueError(f"Unknown backbone: {name}")
 
 
-def build_rpn(cfg, strides):
+def build_rpn(cfg, strides, ignore_regions: bool = False):
     return RPN(
+        ignore_regions=ignore_regions,
         in_features=tuple(cfg.MODEL.RPN.IN_FEATURES),
         strides=strides,
         anchor_sizes=tuple(tuple(s) for s in cfg.MODEL.ANCHOR_GENERATOR.SIZES),
@@ -170,6 +171,10 @@ def build_proposal_generator(cfg, strides):
     name = cfg.MODEL.PROPOSAL_GENERATOR.NAME
     if name == "RPN":
         return build_rpn(cfg, strides)
+    if name == "RPN_Ignore":
+        # reference-registered variant (lvc rpn.py:25); anchors on ignore
+        # regions are excluded from the RPN loss
+        return build_rpn(cfg, strides, ignore_regions=True)
     if name == "RBG":
         from lvc_tpu.modeling.proposal_generator.rbg import RBG
 

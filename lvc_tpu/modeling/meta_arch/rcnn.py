@@ -82,6 +82,8 @@ class GeneralizedRCNN(nn.Module):
                     proposal_logits=batch.get("proposal_logits"),
                     proposal_valid=batch.get("proposal_valid"),
                 )
+            elif "gt_ignores" in batch:
+                pg_kwargs = dict(gt_ignores=batch["gt_ignores"])
             proposals, objectness, prop_valid, rpn_losses = self.proposal_generator(
                 features, image_sizes, gt_boxes, gt_valid, train=train, **pg_kwargs
             )

@@ -83,6 +83,9 @@ class RPN(nn.Module):
     # (~2.7 ms/step at 832x1344). Off by default for reference parity;
     # serving configs can enable (cfg.MODEL.RPN.APPROX_TOPK).
     approx_topk: bool = False
+    # RPN_Ignore: anchors overlapping gt ignore regions are excluded from
+    # the RPN loss (see losses/label_one)
+    ignore_regions: bool = False
 
     def setup(self):
         self.anchor_generator = AnchorGenerator(
@@ -105,6 +108,7 @@ class RPN(nn.Module):
         image_sizes: jnp.ndarray,  # (B, 2) true (h, w)
         gt_boxes: Optional[jnp.ndarray] = None,  # (B, G, 4)
         gt_valid: Optional[jnp.ndarray] = None,  # (B, G)
+        gt_ignores: Optional[jnp.ndarray] = None,  # (B, G) bool
         *,
         train: bool = False,
     ):
@@ -128,7 +132,8 @@ class RPN(nn.Module):
         losses = {}
         if train and gt_boxes is not None:
             losses = self.losses(
-                anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid
+                anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid,
+                gt_ignores,
             )
 
         proposals, objectness, valid = self.predict_proposals(
@@ -137,7 +142,10 @@ class RPN(nn.Module):
         return proposals, objectness, valid, losses
 
     # ------------------------------------------------------------------ loss
-    def losses(self, anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid):
+    def losses(
+        self, anchors_lvl, logits_flat, deltas_flat, gt_boxes, gt_valid,
+        gt_ignores=None,
+    ):
         """Only the ``batch_size_per_image`` sampled anchors contribute to
         either loss (reference rpn.py:328-400), so all per-anchor loss inputs
         are gathered at the sampled indices instead of being computed over
@@ -154,10 +162,31 @@ class RPN(nn.Module):
 
         rng = self.make_rng("sampling")
         keys = per_image_keys(rng, B)
+        if gt_ignores is None or not self.ignore_regions:
+            gt_ignores = jnp.zeros(gt_valid.shape, bool)
 
-        def label_one(key, gt_b, gt_v):
+        def label_one(key, gt_b, gt_v, gt_ig):
+            # ignore-region anchor labeling (the reference's RPN_Ignore
+            # intent, lvc/modeling/proposal_generator/rpn.py:25-90 — its
+            # shipped body is an unfinished stub that extracts
+            # ``x.ignores`` and never applies it; here the semantics
+            # mirror the ROI-heads gt_ignores toggle): ignore rows never
+            # act as real matches, and an anchor whose IoU with any
+            # ignore region exceeds the background threshold is excluded
+            # from sampling entirely (label -1).
+            real_gt = gt_v & ~gt_ig
             iou = box_ops.pairwise_iou(gt_b, anchors)  # (G, R)
-            matched_idx, match_labels = self.matcher(iou, gt_v)
+            matched_idx, match_labels = self.matcher(iou, real_gt)
+            # region exclusion uses intersection-over-anchor-area (the d2
+            # crowd convention, structures/boxes.py pairwise_ioa): an
+            # anchor mostly inside an ignore region is excluded even when
+            # its IoU with the (much larger) region is small
+            ig_rows = gt_v & gt_ig
+            ioa = box_ops.pairwise_ioa(gt_b, anchors)  # (G, R)
+            max_ig = jnp.max(jnp.where(ig_rows[:, None], ioa, 0.0), axis=0)
+            match_labels = jnp.where(
+                max_ig > 0.5, jnp.int8(-1), match_labels
+            )
             idxs, is_pos, slot_valid = subsample_labels(
                 key, match_labels, self.batch_size_per_image, self.positive_fraction
             )
@@ -166,7 +195,7 @@ class RPN(nn.Module):
             return idxs, is_pos, slot_valid, s_anchors, s_gt
 
         idxs, is_pos, slot_valid, s_anchors, s_gt = jax.vmap(label_one)(
-            keys, gt_boxes, gt_valid
+            keys, gt_boxes, gt_valid, gt_ignores
         )
 
         s_logits = jnp.take_along_axis(logits, idxs, axis=1)  # (B, S)

@@ -45,3 +45,56 @@ def test_randomness_depends_on_key():
     a, _, _ = subsample_labels(jax.random.PRNGKey(0), jnp.asarray(labels), 32, 0.5)
     b, _, _ = subsample_labels(jax.random.PRNGKey(1), jnp.asarray(labels), 32, 0.5)
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_rpn_ignore_regions_excluded_from_loss():
+    """RPN_Ignore semantics (reference lvc rpn.py:25-90 — shipped as an
+    unfinished stub; completed here): an ignore gt region's anchors are
+    excluded from the RPN loss entirely. A single huge ignore box covering
+    the whole image makes every anchor label -1 => zero sampled slots =>
+    zero losses; with ignore_regions off the same gt yields real losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from lvc_tpu.modeling.proposal_generator.rpn import RPN
+
+    def make(flag):
+        return RPN(
+            in_features=("p2",),
+            strides={"p2": 4},
+            anchor_sizes=((32,),),
+            anchor_aspect_ratios=((1.0,),),
+            iou_thresholds=(0.3, 0.7),
+            iou_labels=(0, -1, 1),
+            batch_size_per_image=16,
+            positive_fraction=0.5,
+            pre_nms_topk_train=16,
+            post_nms_topk_train=8,
+            pre_nms_topk_test=16,
+            post_nms_topk_test=8,
+            ignore_regions=flag,
+        )
+
+    feats = {"p2": jnp.zeros((1, 16, 16, 8), jnp.float32)}
+    sizes = jnp.asarray([[64, 64]], jnp.int32)
+    # covers the full extent of every anchor (edge anchors stick out of the
+    # image; exclusion is intersection-over-anchor-area > 0.5)
+    gt_boxes = jnp.asarray([[[-16.0, -16.0, 80.0, 80.0]]])
+    gt_valid = jnp.ones((1, 1), bool)
+    gt_ignores = jnp.ones((1, 1), bool)
+
+    rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}
+    out = {}
+    for flag in (False, True):
+        rpn = make(flag)
+        variables = rpn.init(
+            rngs, feats, sizes, gt_boxes, gt_valid, gt_ignores, train=True
+        )
+        _, _, _, losses = rpn.apply(
+            variables, feats, sizes, gt_boxes, gt_valid, gt_ignores,
+            train=True, rngs={"sampling": jax.random.PRNGKey(1)},
+        )
+        out[flag] = {k: float(v) for k, v in losses.items()}
+    assert out[True]["loss_rpn_cls"] == 0.0, out[True]
+    assert out[True]["loss_rpn_loc"] == 0.0, out[True]
+    assert out[False]["loss_rpn_cls"] > 0.0, out[False]
