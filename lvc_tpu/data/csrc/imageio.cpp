@@ -141,35 +141,92 @@ uint8_t* lvc_decode(const uint8_t* data, long len, int* h, int* w) {
 
 void lvc_free(uint8_t* p) { free(p); }
 
-// PIL-convention triangle-filter resize, RGB8 -> RGB8.
+// PIL-convention triangle-filter resize, RGB8 -> RGB8. f32 accumulation
+// (within the +-1 LSB tolerance vs PIL's fixed point; 2x the SIMD width of
+// the earlier double math), and the vertical pass runs row-major — n
+// contiguous fused multiply-add sweeps per output row instead of a strided
+// k-loop per pixel — so the compiler vectorizes both hot loops.
 void lvc_resize(const uint8_t* src, int sh, int sw, int c,
                 uint8_t* dst, int dh, int dw) {
     Coeffs cx = precompute(sw, dw);
     Coeffs cy = precompute(sh, dh);
-    // horizontal pass into float
-    std::vector<float> tmp(size_t(sh) * dw * c);
+    const size_t rw = size_t(dw) * c;
+    std::vector<float> wxf(cx.weights.begin(), cx.weights.end());
+    std::vector<float> wyf(cy.weights.begin(), cy.weights.end());
+    if (dw >= sw && dh >= sh) {
+        // upsampling on both axes: every output is a two-tap bilinear —
+        // one fused pass per direction (the detection pipeline's common
+        // case: COCO short side ~480-640 resized up to 800)
+        struct Tap { int x0, x1; float w0, w1; };
+        std::vector<Tap> tx(dw), ty(dh);
+        for (int xx = 0; xx < dw; ++xx) {
+            const float* w = &wxf[size_t(xx) * cx.kmax];
+            int x0 = cx.xmin[xx];
+            tx[xx] = {x0, std::min(x0 + 1, sw - 1), w[0],
+                      cx.xlen[xx] > 1 ? w[1] : 0.0f};
+        }
+        for (int yy = 0; yy < dh; ++yy) {
+            const float* w = &wyf[size_t(yy) * cy.kmax];
+            int y0 = cy.xmin[yy];
+            ty[yy] = {y0, std::min(y0 + 1, sh - 1), w[0],
+                      cy.xlen[yy] > 1 ? w[1] : 0.0f};
+        }
+        std::vector<float> hbuf(size_t(sh) * rw);
+        for (int y = 0; y < sh; ++y) {
+            const uint8_t* row = src + size_t(y) * sw * c;
+            float* orow = hbuf.data() + size_t(y) * rw;
+            for (int xx = 0; xx < dw; ++xx) {
+                const Tap t = tx[xx];
+                const uint8_t* s0 = row + size_t(t.x0) * c;
+                const uint8_t* s1 = row + size_t(t.x1) * c;
+                float* o = orow + size_t(xx) * c;
+                for (int ch = 0; ch < c; ++ch)
+                    o[ch] = t.w0 * float(s0[ch]) + t.w1 * float(s1[ch]);
+            }
+        }
+        for (int yy = 0; yy < dh; ++yy) {
+            const Tap t = ty[yy];
+            const float* r0 = hbuf.data() + size_t(t.x0) * rw;
+            const float* r1 = hbuf.data() + size_t(t.x1) * rw;
+            uint8_t* orow = dst + size_t(yy) * rw;
+            for (size_t x = 0; x < rw; ++x) {
+                int v = int(t.w0 * r0[x] + t.w1 * r1[x] + 0.5f);
+                orow[x] = uint8_t(std::clamp(v, 0, 255));
+            }
+        }
+        return;
+    }
+    // horizontal pass into float rows
+    std::vector<float> tmp(size_t(sh) * rw);
     for (int y = 0; y < sh; ++y) {
         const uint8_t* row = src + size_t(y) * sw * c;
-        float* orow = tmp.data() + size_t(y) * dw * c;
+        float* orow = tmp.data() + size_t(y) * rw;
         for (int xx = 0; xx < dw; ++xx) {
-            const double* wts = &cx.weights[size_t(xx) * cx.kmax];
-            int x0 = cx.xmin[xx], n = cx.xlen[xx];
-            for (int ch = 0; ch < c; ++ch) {
-                double acc = 0;
-                for (int k = 0; k < n; ++k) acc += wts[k] * row[(x0 + k) * c + ch];
-                orow[xx * c + ch] = float(acc);
+            const float* wts = &wxf[size_t(xx) * cx.kmax];
+            const uint8_t* s = row + size_t(cx.xmin[xx]) * c;
+            const int n = cx.xlen[xx];
+            float* o = orow + size_t(xx) * c;
+            for (int ch = 0; ch < c; ++ch) o[ch] = 0.0f;
+            for (int k = 0; k < n; ++k) {
+                const float w = wts[k];
+                for (int ch = 0; ch < c; ++ch) o[ch] += w * float(s[k * c + ch]);
             }
         }
     }
-    // vertical pass + rounding
+    // vertical pass: contiguous row FMAs, then round+clamp
+    std::vector<float> acc(rw);
     for (int yy = 0; yy < dh; ++yy) {
-        const double* wts = &cy.weights[size_t(yy) * cy.kmax];
-        int y0 = cy.xmin[yy], n = cy.xlen[yy];
-        uint8_t* orow = dst + size_t(yy) * dw * c;
-        for (int x = 0; x < dw * c; ++x) {
-            double acc = 0;
-            for (int k = 0; k < n; ++k) acc += wts[k] * tmp[size_t(y0 + k) * dw * c + x];
-            int v = int(acc + 0.5);
+        const float* wts = &wyf[size_t(yy) * cy.kmax];
+        const int y0 = cy.xmin[yy], n = cy.xlen[yy];
+        std::fill(acc.begin(), acc.end(), 0.0f);
+        for (int k = 0; k < n; ++k) {
+            const float w = wts[k];
+            const float* trow = tmp.data() + size_t(y0 + k) * rw;
+            for (size_t x = 0; x < rw; ++x) acc[x] += w * trow[x];
+        }
+        uint8_t* orow = dst + size_t(yy) * rw;
+        for (size_t x = 0; x < rw; ++x) {
+            int v = int(acc[x] + 0.5f);
             orow[x] = uint8_t(std::clamp(v, 0, 255));
         }
     }
