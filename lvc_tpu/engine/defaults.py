@@ -27,6 +27,7 @@ from lvc_tpu.engine.train_loop import (
     TrainState,
     make_data_parallel_train_step,
     make_eval_step,
+    make_eval_step_auto,
     shard_batch,
 )
 from lvc_tpu.evaluation.coco_evaluation import COCOEvaluator
@@ -130,7 +131,7 @@ class DefaultTrainer:
             variables = self._materialize(variables, seed)
             self.tx = self.build_optimizer(cfg, variables["params"])
             self.state = TrainState.create(variables, self.tx)
-            self.eval_step = make_eval_step(self.model)
+            self.eval_step = make_eval_step_auto(self.model)
             self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
             self.start_iter = 0
             self.max_iter = cfg.SOLVER.MAX_ITER
@@ -166,7 +167,7 @@ class DefaultTrainer:
             self.model, self.tx, self.mesh,
             mixed_precision=cfg.SOLVER.AMP.ENABLED,
         )
-        self.eval_step = make_eval_step(self.model)
+        self.eval_step = make_eval_step_auto(self.model)
 
         self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
         self.start_iter = 0
@@ -302,7 +303,7 @@ class DefaultTrainer:
         trainer_cls = trainer_cls or cls
         if eval_step is None:
             model = trainer_cls.build_model(cfg)
-            eval_step = make_eval_step(model)
+            eval_step = make_eval_step_auto(model)
         results = {}
         for dataset_name in cfg.DATASETS.TEST:
             loader = trainer_cls.build_test_loader(cfg, dataset_name)

@@ -151,12 +151,11 @@ def make_data_parallel_train_step(
     return jax.jit(smapped, donate_argnums=(0,))
 
 
-def make_eval_step(model, bf16: bool = False) -> Callable:
+def _eval_forward(model, bf16: bool = False) -> Callable:
     """bf16=True casts params and image to bfloat16 for the conv/matmul
     path; box math stays f32 because anchors/proposals are f32 (promotion
     rules), so decoded coordinates keep full precision."""
 
-    @jax.jit
     def eval_step(state: TrainState, batch: Dict):
         params = state.params
         if bf16:
@@ -175,6 +174,31 @@ def make_eval_step(model, bf16: bool = False) -> Callable:
         )
 
     return eval_step
+
+
+def make_eval_step(model, bf16: bool = False) -> Callable:
+    return jax.jit(_eval_forward(model, bf16))
+
+
+def make_eval_step_auto(model, bf16: bool = False) -> Callable:
+    """Eval step spread over all local devices: one process drives every
+    chip on its host (the reference instead spawns one DDP process per
+    GPU, launch.py:24). shard_map (not GSPMD) because inference contains
+    Mosaic/Pallas kernels; detection is per-image, so the batch axis
+    shards cleanly with no collectives. Requires the batch size to be a
+    multiple of the local device count (build_test_loader sizes batches to
+    len(jax.local_devices()))."""
+    devices = jax.local_devices()
+    if len(devices) <= 1:
+        return make_eval_step(model, bf16)
+    mesh = Mesh(np.array(devices), axis_names=("data",))
+    smapped = jax.shard_map(
+        _eval_forward(model, bf16),
+        mesh=mesh,
+        in_specs=(P(), P("data")),
+        out_specs=P("data"),
+    )
+    return jax.jit(smapped)
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
