@@ -131,7 +131,9 @@ class DefaultTrainer:
             variables = self._materialize(variables, seed)
             self.tx = self.build_optimizer(cfg, variables["params"])
             self.state = TrainState.create(variables, self.tx)
-            self.eval_step = make_eval_step_auto(self.model)
+            self.eval_step = make_eval_step_auto(
+                self.model, devices=self.mesh.devices.flatten()
+            )
             self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
             self.start_iter = 0
             self.max_iter = cfg.SOLVER.MAX_ITER
@@ -167,7 +169,9 @@ class DefaultTrainer:
             self.model, self.tx, self.mesh,
             mixed_precision=cfg.SOLVER.AMP.ENABLED,
         )
-        self.eval_step = make_eval_step_auto(self.model)
+        self.eval_step = make_eval_step_auto(
+            self.model, devices=self.mesh.devices.flatten()
+        )
 
         self.checkpointer = DetectionCheckpointer(self.state, cfg.OUTPUT_DIR)
         self.start_iter = 0

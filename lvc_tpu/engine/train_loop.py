@@ -180,25 +180,43 @@ def make_eval_step(model, bf16: bool = False) -> Callable:
     return jax.jit(_eval_forward(model, bf16))
 
 
-def make_eval_step_auto(model, bf16: bool = False) -> Callable:
-    """Eval step spread over all local devices: one process drives every
-    chip on its host (the reference instead spawns one DDP process per
-    GPU, launch.py:24). shard_map (not GSPMD) because inference contains
+def make_eval_step_auto(model, bf16: bool = False, devices=None) -> Callable:
+    """Eval step spread over local devices: one process drives every chip
+    on its host (the reference instead spawns one DDP process per GPU,
+    launch.py:24). shard_map (not GSPMD) because inference contains
     Mosaic/Pallas kernels; detection is per-image, so the batch axis
-    shards cleanly with no collectives. Requires the batch size to be a
-    multiple of the local device count (build_test_loader sizes batches to
-    len(jax.local_devices()))."""
-    devices = jax.local_devices()
+    shards cleanly with no collectives. The mesh adapts per batch size
+    (gcd with the device count); pass ``devices`` when the state is
+    committed to a submesh (e.g. the trainer's training mesh) so eval
+    placement matches it."""
+    devices = list(devices) if devices is not None else jax.local_devices()
+    single = make_eval_step(model, bf16)
     if len(devices) <= 1:
-        return make_eval_step(model, bf16)
-    mesh = Mesh(np.array(devices), axis_names=("data",))
-    smapped = jax.shard_map(
-        _eval_forward(model, bf16),
-        mesh=mesh,
-        in_specs=(P(), P("data")),
-        out_specs=P("data"),
-    )
-    return jax.jit(smapped)
+        return single
+    cache: Dict[int, Callable] = {}
+
+    def step(state: TrainState, batch: Dict):
+        import math
+
+        B = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        n = math.gcd(B, len(devices))
+        if n <= 1:
+            return single(state, batch)
+        fn = cache.get(n)
+        if fn is None:
+            mesh = Mesh(np.array(devices[:n]), axis_names=("data",))
+            fn = jax.jit(
+                jax.shard_map(
+                    _eval_forward(model, bf16),
+                    mesh=mesh,
+                    in_specs=(P(), P("data")),
+                    out_specs=P("data"),
+                )
+            )
+            cache[n] = fn
+        return fn(state, batch)
+
+    return step
 
 
 def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
