@@ -98,3 +98,67 @@ def test_rpn_ignore_regions_excluded_from_loss():
     assert out[True]["loss_rpn_cls"] == 0.0, out[True]
     assert out[True]["loss_rpn_loc"] == 0.0, out[True]
     assert out[False]["loss_rpn_cls"] > 0.0, out[False]
+
+
+def test_per_image_keys_decomposition_invariant():
+    """Keys under an 8-shard mesh (local B=1) == keys single-device (B=8)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from lvc_tpu.modeling.sampling import per_image_keys, sampling_axis_scope
+
+    rng = jax.random.PRNGKey(3)
+    with sampling_axis_scope(None):
+        full = per_image_keys(rng, 8)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded_fn = jax.shard_map(
+        lambda r: per_image_keys(r, 1),
+        mesh=mesh, in_specs=P(), out_specs=P("data"),
+    )
+    # the scope is read at TRACE time, so it must wrap the call
+    with sampling_axis_scope("data"):
+        sharded = sharded_fn(rng)
+    np.testing.assert_array_equal(
+        jax.random.key_data(full), jax.random.key_data(sharded)
+    )
+
+
+def test_global_ratio_value_and_grad_decomposition_invariant():
+    """global_ratio under shard_map: the loss value equals the global
+    ratio on every shard, and the gradient w.r.t. a replicated parameter
+    equals the single-device gradient (no axis-size factor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from lvc_tpu.modeling.sampling import global_ratio, sampling_axis_scope
+
+    x = np.arange(1.0, 9.0, dtype=np.float32)  # 8 "per-image" numerators
+    den = np.asarray([1.0, 0.0, 2.0, 1.0, 0.0, 1.0, 3.0, 1.0], np.float32)
+    w0 = jnp.asarray(2.0)
+
+    def loss_single(w):
+        with sampling_axis_scope(None):
+            return global_ratio(jnp.sum(w * jnp.asarray(x)), jnp.sum(jnp.asarray(den)))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def shard_body(w, xs, ds):
+        with sampling_axis_scope("data"):
+            return global_ratio(jnp.sum(w * xs), jnp.sum(ds))
+
+    def loss_sharded(w):
+        out = jax.shard_map(
+            lambda w_, xs, ds: shard_body(w_, xs, ds),
+            mesh=mesh, in_specs=(P(), P("data"), P("data")), out_specs=P(),
+        )(w, jnp.asarray(x), jnp.asarray(den))
+        return out
+
+    v1, g1 = jax.value_and_grad(loss_single)(w0)
+    v8, g8 = jax.value_and_grad(loss_sharded)(w0)
+    np.testing.assert_allclose(float(v1), float(v8), rtol=1e-6)
+    np.testing.assert_allclose(float(g1), float(g8), rtol=1e-6)
