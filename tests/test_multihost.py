@@ -243,3 +243,86 @@ def test_local_data_parallel_eval_matches_single_device():
             np.testing.assert_allclose(a, b, atol=0.05, err_msg=name)
         else:
             np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ["RetinaNet", "PanopticMask"])
+def test_dp_loss_values_invariant_other_archs(arch):
+    """Loss VALUES of the other loss families (RetinaNet focal /num_pos,
+    PanopticFPN sem-seg pixel CE + Mask R-CNN BCE) must be identical
+    between a 1-device and an 8-device DP step on the same global batch —
+    every normalizer must route through sampling.global_ratio (per-image
+    fg counts are varied below precisely so a per-shard normalizer would
+    change the value)."""
+    from jax.sharding import Mesh
+
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.engine.train_loop import (
+        TrainState,
+        make_data_parallel_train_step,
+        shard_batch,
+    )
+    from lvc_tpu.modeling.meta_arch.build import build_model
+    from lvc_tpu.solver.build import build_optimizer
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 5
+    cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES = 7
+    cfg.MODEL.RPN.PRE_NMS_TOPK_TRAIN = 64
+    cfg.MODEL.RPN.POST_NMS_TOPK_TRAIN = 32
+    cfg.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 16
+    if arch == "RetinaNet":
+        cfg.MODEL.META_ARCHITECTURE = "RetinaNet"
+    else:
+        cfg.MODEL.META_ARCHITECTURE = "PanopticFPN"
+        cfg.MODEL.MASK_ON = True
+    model = build_model(cfg)
+
+    B, H, W, G = 8, 64, 64, 4
+    rng = np.random.RandomState(2)
+    boxes = np.zeros((B, G, 4), np.float32)
+    valid = np.zeros((B, G), bool)
+    classes = np.zeros((B, G), np.int32)
+    for b in range(B):
+        n = 1 + b % 3  # different fg count per image
+        for i in range(n):
+            x0, y0 = rng.rand(2) * 24
+            boxes[b, i] = [x0, y0, x0 + 16 + 8 * i, y0 + 20]
+            classes[b, i] = rng.randint(0, 5)
+            valid[b, i] = True
+    batch = {
+        "image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "image_size": jnp.asarray(np.full((B, 2), [H, W], np.int32)),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_classes": jnp.asarray(classes),
+        "gt_valid": jnp.asarray(valid),
+    }
+    if arch == "PanopticMask":
+        tgt = rng.randint(0, 7, (B, H, W)).astype(np.int32)
+        tgt[:, 48:] = 255
+        batch["sem_seg"] = jnp.asarray(tgt)
+        batch["gt_masks"] = jnp.asarray(
+            rng.rand(B, G, H // 4, W // 4) > 0.5, jnp.float32
+        )
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)},
+        batch, train=True,
+    )
+    tx = build_optimizer(cfg, variables["params"])
+
+    metrics = {}
+    for n in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:n]), axis_names=("data",))
+        state = TrainState.create(jax.tree_util.tree_map(jnp.array, variables), tx)
+        step = make_data_parallel_train_step(model, tx, mesh)
+        with mesh:
+            _, m = step(state, shard_batch(batch, mesh), jax.random.PRNGKey(7))
+            jax.block_until_ready(m)
+        metrics[n] = {k: float(v) for k, v in m.items()}
+    for k in metrics[1]:
+        assert metrics[1][k] == pytest.approx(metrics[8][k], rel=3e-4, abs=2e-5), (
+            k, metrics[1][k], metrics[8][k],
+        )
