@@ -233,15 +233,15 @@ class COCOeval:
                         q = np.zeros(R)
                         ss = np.zeros(R)
                         recall[t, k, a, m] = rc[-1] if nd else 0
-                        pr = pr.tolist()
-                        for i in range(nd - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
+                        # monotone precision envelope (running max from the
+                        # right) — the reference's backward python loop,
+                        # vectorized; identical values
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         inds_r = np.searchsorted(rc, p.recThrs, side="left")
-                        for ri, pi in enumerate(inds_r):
-                            if pi < nd:
-                                q[ri] = pr[pi]
-                                ss[ri] = dtScoresSorted[pi]
+                        ok = inds_r < nd
+                        sel = inds_r[ok]
+                        q[ok] = pr[sel]
+                        ss[ok] = dtScoresSorted[sel]
                         precision[t, :, k, a, m] = q
                         scores[t, :, k, a, m] = ss
         self.eval = {

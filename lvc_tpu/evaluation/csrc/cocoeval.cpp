@@ -99,4 +99,32 @@ void cocoeval_evaluate_img(
   }
 }
 
+// Batched variant: all (image, category) cells in ONE call. The per-cell
+// ctypes argument conversion dominated the driver (11 array casts x ~60k
+// calls on a COCO-sized eval); here Python concatenates the cell arrays
+// once and passes CSR-style offsets.
+//   dcounts/gcounts[N]  per-cell D_k / G_k
+//   iou_off[N]          element offset of cell k in ious (sum D_i*G_i)
+//   d_off/g_off[N]      element offsets into dt/gt arrays (sum D_i / G_i)
+// Outputs use the same offsets scaled by A*T (dtm/gtm/dt_ig) or A (gt_ig).
+void cocoeval_evaluate_batch(
+    int64_t T, const double* thrs,
+    int64_t A, const double* area_rng,
+    int64_t N,
+    const int64_t* dcounts, const int64_t* gcounts,
+    const int64_t* iou_off, const int64_t* d_off, const int64_t* g_off,
+    const double* ious,
+    const double* gt_area, const uint8_t* gt_ignore_base,
+    const uint8_t* gt_crowd, const double* dt_area,
+    int64_t* dtm, int64_t* gtm, uint8_t* dt_ig, uint8_t* gt_ig) {
+  for (int64_t k = 0; k < N; ++k) {
+    cocoeval_evaluate_img(
+        T, thrs, dcounts[k], gcounts[k], ious + iou_off[k],
+        gt_area + g_off[k], gt_ignore_base + g_off[k], gt_crowd + g_off[k],
+        dt_area + d_off[k], A, area_rng,
+        dtm + A * T * d_off[k], gtm + A * T * g_off[k],
+        dt_ig + A * T * d_off[k], gt_ig + A * g_off[k]);
+  }
+}
+
 }  // extern "C"
