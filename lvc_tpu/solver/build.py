@@ -159,6 +159,14 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
     bias_mask, norm_mask, other_mask = _wd_group_masks(params)
 
     chain = []
+    # clipping first: the reference clips RAW gradients (a hook before
+    # optimizer.step, d2 build.py:61-90); weight decay is added inside the
+    # SGD step, i.e. after clipping
+    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
+        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
+            chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
+        else:
+            chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
     if cfg.SOLVER.WEIGHT_DECAY:
         chain.append(
             optax.masked(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY), other_mask)
@@ -171,11 +179,6 @@ def build_optimizer(cfg, params) -> optax.GradientTransformation:
         chain.append(
             optax.masked(optax.add_decayed_weights(cfg.SOLVER.WEIGHT_DECAY_NORM), norm_mask)
         )
-    if cfg.SOLVER.CLIP_GRADIENTS.ENABLED:
-        if cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE == "value":
-            chain.append(optax.clip(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
-        else:
-            chain.append(optax.clip_by_global_norm(cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE))
     if cfg.SOLVER.MOMENTUM:
         chain.append(optax.trace(decay=cfg.SOLVER.MOMENTUM, nesterov=cfg.SOLVER.NESTEROV))
     chain.append(optax.scale_by_learning_rate(schedule))
