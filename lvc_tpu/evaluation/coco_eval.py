@@ -197,13 +197,18 @@ class COCOeval:
         recall = -np.ones((T, K, A, M))
         scores = -np.ones((T, R, K, A, M))
 
+        # one pass over evalImgs instead of len(imgIds) dict probes per
+        # (category, area) pair; insertion order preserves imgId order
+        from collections import defaultdict
+
+        grouped = defaultdict(list)
+        for (imgId, catId, aRng), e in self.evalImgs.items():
+            if e is not None:
+                grouped[(catId, aRng)].append(e)
+
         for k, catId in enumerate(p.catIds):
             for a, aRng in enumerate(p.areaRng):
-                E = [
-                    self.evalImgs.get((imgId, catId, tuple(aRng)))
-                    for imgId in p.imgIds
-                ]
-                E = [e for e in E if e is not None]
+                E = grouped.get((catId, tuple(aRng)), [])
                 if len(E) == 0:
                     continue
                 for m, maxDet in enumerate(p.maxDets):
