@@ -47,16 +47,13 @@ def main():
         compiled = jax.jit(_infer).lower(batch).compile()
     except Exception:
         # safety net: if the fused residual-epilogue GEMM ever fails to
-        # compile on this backend, fall back to the unfused serving path
-        # (the LVC_TPU_FUSED_RESIDUAL gate is read at trace time)
+        # compile on this backend, fall back to the unfused serving path —
+        # the LVC_TPU_FUSED_RESIDUAL gate is read at trace time and the
+        # fresh jit wrapper retraces
         import os
 
         os.environ["LVC_TPU_FUSED_RESIDUAL"] = "0"
-
-        def _infer_unfused(batch):
-            return model.apply(variables, batch, train=False)
-
-        compiled = jax.jit(_infer_unfused).lower(batch).compile()
+        compiled = jax.jit(lambda b: _infer(b)).lower(batch).compile()
     # XLA cost analysis -> model FLOPs/batch for the MFU report
     # (VERDICT r1 next #8); v5e peak is 197 TFLOP/s bf16.
     try:

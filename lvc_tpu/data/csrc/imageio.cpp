@@ -293,8 +293,7 @@ void lvc_s2d_normalize(const uint8_t* img, int h, int w, int c,
                        int H, int W, const float* mean, const float* stdv,
                        float* out) {
     const int OH = (H + 6) / 2, OW = (W + 6) / 2;
-    float bg[8], inv_used = 0;  // c <= 8 in practice (RGB)
-    (void)inv_used;
+    float bg[8];  // c <= 8 in practice (RGB)
     for (int ch = 0; ch < c; ++ch) bg[ch] = (0.0f - mean[ch]) / stdv[ch];
     for (int a = 0; a < 2; ++a) {
         const int sy = 1 - a;                 // first source row of parity a

@@ -132,6 +132,9 @@ def s2d_normalize(
     mean = np.ascontiguousarray(pixel_mean, np.float32)
     std = np.ascontiguousarray(pixel_std, np.float32)
     assert mean.shape == (c,) and std.shape == (c,) and c <= 8
+    # the C kernel writes nx columns per plane: an image larger than the
+    # canvas would run past the output row (heap corruption, not an error)
+    assert h <= H and w <= W, ((h, w), (H, W))
     out = np.zeros(((H + 6) // 2, (W + 6) // 2, 4 * c), np.float32)
     lib.lvc_s2d_normalize(
         img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c, H, W,

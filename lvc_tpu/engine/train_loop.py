@@ -189,8 +189,14 @@ def make_eval_step_auto(model, bf16: bool = False, devices=None) -> Callable:
     (gcd with the device count); pass ``devices`` when the state is
     committed to a submesh (e.g. the trainer's training mesh) so eval
     placement matches it."""
-    devices = list(devices) if devices is not None else jax.local_devices()
     single = make_eval_step(model, bf16)
+    if jax.process_count() > 1:
+        # multi-host: a caller-passed mesh may contain non-addressable
+        # remote devices, and state committed to the global training mesh
+        # cannot be re-placed onto a host-local one — keep the plain jit
+        # (computation follows the state's sharding, as before)
+        return single
+    devices = list(devices) if devices is not None else jax.local_devices()
     if len(devices) <= 1:
         return single
     cache: Dict[int, Callable] = {}

@@ -198,12 +198,15 @@ class COCOeval:
         scores = -np.ones((T, R, K, A, M))
 
         # one pass over evalImgs instead of len(imgIds) dict probes per
-        # (category, area) pair; insertion order preserves imgId order
+        # (category, area) pair; insertion order preserves imgId order.
+        # p.imgIds still restricts (re-accumulating on an image subset is
+        # part of the COCOeval protocol).
         from collections import defaultdict
 
+        img_ok = set(p.imgIds)
         grouped = defaultdict(list)
         for (imgId, catId, aRng), e in self.evalImgs.items():
-            if e is not None:
+            if e is not None and imgId in img_ok:
                 grouped[(catId, aRng)].append(e)
 
         for k, catId in enumerate(p.catIds):

@@ -321,6 +321,7 @@ class Conv2d(nn.Module):
             and os.environ.get("LVC_TPU_FUSED_RESIDUAL", "1") != "0"
             and self.kernel_size == 1
             and self.stride == 1
+            and self.padding == 0
             and self.dilation == 1
             and self.groups == 1
             and (fuse_bn or fuse_bias)

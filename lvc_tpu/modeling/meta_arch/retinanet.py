@@ -200,7 +200,10 @@ class RetinaNet(nn.Module):
 
         valid = cls_labels >= 0
         fg = valid & (cls_labels < self.num_classes)
-        num_pos = jnp.maximum(jnp.sum(fg), 1.0)
+        # raw count: global_ratio psums it over the data axis FIRST and
+        # clamps after — clamping per-shard would change the loss whenever
+        # a shard has zero positives
+        num_pos = jnp.sum(fg).astype(jnp.float32)
 
         onehot = jax.nn.one_hot(
             jnp.clip(cls_labels, 0, self.num_classes - 1), self.num_classes

@@ -124,8 +124,16 @@ def _trainable_bwd(relu, interpret, saved, g):
     dw = jax.lax.dot_general(
         x, gs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(w.dtype)
-    dot = (yf - shift - residual.astype(jnp.float32)) / scale
-    dscale = jnp.sum(g * dot, axis=0).astype(scale.dtype)
+    # recover the pre-affine product; where the folded scale is exactly 0
+    # (zero-gamma BN init / pruned channels) it is unrecoverable — emit 0
+    # there instead of inf/nan (those channels' outputs don't vary with x
+    # through the matmul, and FrozenBN affines are frozen in the solver;
+    # a nan here would poison global-norm gradient clipping)
+    safe_scale = jnp.where(scale == 0, 1.0, scale)
+    dot = (yf - shift - residual.astype(jnp.float32)) / safe_scale
+    dscale = jnp.sum(
+        jnp.where(scale == 0, 0.0, g * dot), axis=0
+    ).astype(scale.dtype)
     dshift = jnp.sum(g, axis=0).astype(shift.dtype)
     dres = g.astype(residual.dtype)
     return dx, dw, dscale, dshift, dres

@@ -38,7 +38,14 @@ def build_shared_lib(name: str, src_path: str, link_libs: Sequence[str] = ()) ->
     try:
         with open(src_path, "rb") as f:
             src_bytes = f.read()
-        key = hashlib.sha256(src_bytes + b"\0" + " ".join(link_libs).encode()).hexdigest()[:16]
+        import platform
+
+        # key in the flag set AND the host CPU: -march=native artifacts are
+        # ISA-specific, and cache_dir may live on a shared (NFS) home
+        tag = f"march=native|{platform.machine()}|{platform.processor()}"
+        key = hashlib.sha256(
+            src_bytes + b"\0" + " ".join(link_libs).encode() + b"\0" + tag.encode()
+        ).hexdigest()[:16]
         out_dir = cache_dir()
         os.makedirs(out_dir, exist_ok=True)
         lib_path = os.path.join(out_dir, f"{name}-{key}.so")
