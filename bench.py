@@ -22,8 +22,32 @@ WARMUP = 3
 ITERS = 10
 
 
+def _enable_compile_cache():
+    # persistent XLA compilation cache: the R-101 serving graph takes
+    # minutes to compile through the TPU tunnel; cache it across bench
+    # invocations so repeat runs (and the driver's round-end run) pay it
+    # once. Best-effort — some backends reject the cache config.
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "lvc_tpu",
+            "jax_bench_cache",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+
+    _enable_compile_cache()
 
     import __graft_entry__ as g
     from lvc_tpu.modeling.meta_arch.build import build_model

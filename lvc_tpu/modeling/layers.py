@@ -316,9 +316,14 @@ class Conv2d(nn.Module):
         # (bottleneck conv3 tail) or plain bias (FPN lateral + top-down add)
         fuse_bn = not self.use_bias and self.norm == "FrozenBN"
         fuse_bias = self.use_bias and self.norm == ""
+        # default OFF: measured on TPU v5e (scripts/check_fused_serving.py,
+        # R-101 bs16 832x1344 bf16) the Pallas fused GEMM is 0.79x vs XLA's
+        # own conv+add fusion (162.4 vs 128.4 ms/batch) — XLA already fuses
+        # the residual add into the convolution epilogue. Kernel kept for
+        # backends/shapes where it wins; opt in with LVC_TPU_FUSED_RESIDUAL=1.
         fuse = (
             residual is not None
-            and os.environ.get("LVC_TPU_FUSED_RESIDUAL", "1") != "0"
+            and os.environ.get("LVC_TPU_FUSED_RESIDUAL", "0") == "1"
             and self.kernel_size == 1
             and self.stride == 1
             and self.padding == 0

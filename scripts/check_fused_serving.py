@@ -35,6 +35,10 @@ def main():
     cfg.MODEL.RESNETS.DEPTH = 101
     cfg.MODEL.DTYPE = "bfloat16"
     cfg.MODEL.ROI_HEADS.POOLER_IMPL = "pallas_fast"
+    # random-init softmax scores (~1/81) never clear the default 0.05
+    # threshold, which made the equivalence check vacuous; keep topk-by-score
+    # with no floor so both paths emit comparable detections
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
     model = build_model(cfg)
     batch = g._make_batch(B=args.batch, H=args.height, W=args.width)
     variables = g.fast_init(
