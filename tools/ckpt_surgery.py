@@ -97,7 +97,15 @@ def main():
         all_classes = sorted(base + novel)
         idmap = {v: i for i, v in enumerate(all_classes)}
     elif args.lvis:
-        raise NotImplementedError("LVIS surgery tables not wired yet")
+        # LVIS v0.5: 454 rare (novel) categories out of 1230 contiguous ids
+        # (reference tools/ckpt_surgery.py:231-275)
+        from lvc_tpu.data.builtin_meta import LVIS_NOVEL_IDS
+
+        novel = list(LVIS_NOVEL_IDS)
+        base = [c for c in range(1230) if c not in set(novel)]
+        tar_size = 1230
+        all_classes = sorted(base + novel)
+        idmap = {v: i for i, v in enumerate(all_classes)}
     else:
         novel, base, tar_size, idmap = None, None, 20, None
 
@@ -151,19 +159,22 @@ def main():
         else:
             new_w = np.zeros((tsize,), pretrained.dtype)
 
-        if args.coco:
-            # copy base-class rows through IDMAP (reference :66-79)
+        if args.coco or args.lvis:
+            # copy base-class rows through IDMAP (reference :66-79). The LVIS
+            # base detector holds all-class rows, so its source index is the
+            # class id itself (reference :67 `idx = i if args.coco else c`).
             for i, c in enumerate(base):
+                src = i if args.coco else c
                 if "cls_score" in pname:
-                    new_w[idmap[c]] = pretrained[i]
+                    new_w[idmap[c]] = pretrained[src]
                 else:
-                    new_w[idmap[c] * 4 : (idmap[c] + 1) * 4] = pretrained[i * 4 : (i + 1) * 4]
+                    new_w[idmap[c] * 4 : (idmap[c] + 1) * 4] = pretrained[src * 4 : (src + 1) * 4]
         else:
             new_w[:prev_cls] = pretrained[:prev_cls]
 
         if args.method == "combine":
             w2 = sd2[wname]
-            if args.coco:
+            if args.coco or args.lvis:
                 for i, c in enumerate(novel):
                     if "cls_score" in pname:
                         new_w[idmap[c]] = w2[i]
