@@ -28,6 +28,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from lvc_tpu.ops.pallas_util import out_vma
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -86,7 +88,9 @@ def matmul_affine_residual(
         out_specs=pl.BlockSpec(
             (tile_m, tile_n), lambda j, i: (i, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((M, N), residual.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (M, N), residual.dtype, vma=out_vma(x, w, residual)
+        ),
         interpret=interpret,
     )(x, w, scale, shift, residual)
 

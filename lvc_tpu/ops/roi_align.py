@@ -26,6 +26,8 @@ from typing import Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from lvc_tpu.ops.pallas_util import out_vma
+
 
 def assign_boxes_to_levels(
     boxes: jnp.ndarray,
@@ -726,7 +728,9 @@ def batched_multilevel_roi_align_pallas(
         out_specs=pl.BlockSpec(
             (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, P, P, C), dtype, vma=out_vma(WxB, wy_flat, cnt)
+        ),
         scratch_shapes=[
             pltpu.VMEM((depth, group, rpg2, tile, C // 128, 128), dtype),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
@@ -1124,7 +1128,9 @@ def batched_multilevel_roi_align_pallas_paired(
         out_specs=pl.BlockSpec(
             (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, P, P, C), dtype, vma=out_vma(WxB, wy_flat, cnt)
+        ),
         scratch_shapes=[
             pltpu.VMEM((depth, group, q, 2, tile, C // 128, 128), dtype),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
@@ -1436,7 +1442,9 @@ def batched_multilevel_roi_align_pallas_fast(
         out_specs=pl.BlockSpec(
             (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n_pad, P, P, C), dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_pad, P, P, C), dtype, vma=out_vma(WxB, wy_flat, cnt)
+        ),
         scratch_shapes=[
             pltpu.VMEM((depth, group, P, 4, tile, C // 128, 128), dtype),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
@@ -1618,7 +1626,9 @@ def _roi_align_paired_bwd_impl(
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct(zeros.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            zeros.shape, jnp.float32, vma=out_vma(gout_flat, WxB, zeros)
+        ),
         scratch_shapes=[
             pltpu.VMEM((rows_cap, tile, C // 128, 128), jnp.float32),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),

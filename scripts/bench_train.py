@@ -23,6 +23,19 @@ def bench(mode: str, batch_size: int, height: int, width: int, iters: int, warmu
     import jax
     from jax.sharding import Mesh
 
+    # persistent compile cache (same as bench.py): the train-step graph
+    # takes minutes to compile through the TPU tunnel
+    try:
+        cache_dir = os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "lvc_tpu", "jax_bench_cache",
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
     import __graft_entry__ as g
     from lvc_tpu.modeling.meta_arch.build import build_model
     from lvc_tpu.solver.build import build_optimizer
