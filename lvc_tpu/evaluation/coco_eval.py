@@ -1,4 +1,4 @@
-"""COCO detection evaluation (bbox), self-contained.
+"""COCO detection evaluation (bbox + segm), self-contained.
 
 Faithful re-implementation of the COCOeval protocol (the reference
 accelerates the same algorithm in C++: detectron2/layers/csrc/cocoeval/
@@ -38,9 +38,44 @@ def bbox_iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _ann_mask_bits(ann: dict, h: int, w: int):
+    """Decode an annotation's segmentation to packed bits (np.packbits of
+    the row-major flattened bool mask) + pixel area, cached on the ann."""
+    cached = ann.get("_mask_bits")
+    if cached is not None:
+        return cached
+    from lvc_tpu.structures.masks import polygons_to_bitmask, rle_to_bitmask
+
+    seg = ann["segmentation"]
+    if isinstance(seg, dict):
+        m = rle_to_bitmask(seg)
+    else:
+        m = polygons_to_bitmask(seg, h, w)
+    bits = np.packbits(m.reshape(-1))
+    area = int(m.sum())
+    ann["_mask_bits"] = (bits, area)
+    return ann["_mask_bits"]
+
+
+def segm_iou(dt_bits, gt_bits, iscrowd) -> np.ndarray:
+    """Mask IoU from packed-bit masks [(bits, area), ...]; crowd gt uses
+    intersection / det area (pycocotools maskUtils.iou semantics)."""
+    out = np.zeros((len(dt_bits), len(gt_bits)))
+    for j, (gb, ga) in enumerate(gt_bits):
+        for i, (db, da) in enumerate(dt_bits):
+            inter = int(_POPCOUNT[np.bitwise_and(db, gb)].sum())
+            union = da if iscrowd[j] else da + ga - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out
+
+
 class Params:
     def __init__(self, iouType="bbox"):
-        assert iouType == "bbox"
+        assert iouType in ("bbox", "segm"), iouType
+        self.iouType = iouType
         self.imgIds: List[int] = []
         self.catIds: List[int] = []
         self.iouThrs = np.linspace(0.5, 0.95, 10)
@@ -111,9 +146,17 @@ class COCOeval:
         dt = [dt[i] for i in inds]
         if len(dt) > p.maxDets[-1]:
             dt = dt[: p.maxDets[-1]]
+        iscrowd = np.array([x.get("iscrowd", 0) for x in gt], dtype=bool)
+        if p.iouType == "segm":
+            img = self.cocoGt.imgs[imgId]
+            h, w = img["height"], img["width"]
+            return segm_iou(
+                [_ann_mask_bits(x, h, w) for x in dt],
+                [_ann_mask_bits(x, h, w) for x in gt],
+                iscrowd,
+            )
         d = np.array([x["bbox"] for x in dt], dtype=np.float64)
         g = np.array([x["bbox"] for x in gt], dtype=np.float64)
-        iscrowd = np.array([x.get("iscrowd", 0) for x in gt], dtype=bool)
         return bbox_iou_xywh(d, g, iscrowd)
 
     def evaluateImg(self, imgId, catId, aRng, maxDet):

@@ -37,7 +37,11 @@ NOVEL_CLASS_IDS = [1, 2, 3, 4, 5, 6, 7, 9, 16, 17, 18, 19, 20, 21, 44, 62, 63, 6
 
 def detections_to_coco_json(dets, meta: dict) -> List[dict]:
     """One image's padded Detections -> COCO result rows, rescaled from the
-    resized canvas coords to the original image size."""
+    resized canvas coords to the original image size. When the model ran
+    with MASK_ON, roi-space probability masks are pasted at the original
+    resolution and emitted as uncompressed RLE "segmentation" (the
+    reference emits compressed RLE via pycocotools, coco_evaluation.py:334;
+    our COCO api decodes both forms)."""
     rows = []
     boxes = np.asarray(dets.boxes, np.float64)
     scores = np.asarray(dets.scores, np.float64)
@@ -46,26 +50,41 @@ def detections_to_coco_json(dets, meta: dict) -> List[dict]:
     rh, rw = [int(x) for x in meta["image_size"]]
     oh, ow = [int(x) for x in meta["orig_size"]]
     sx, sy = ow / rw, oh / rh
-    for b, s, c, v in zip(boxes, scores, classes, valid):
+    masks = None
+    if getattr(dets, "masks", None) is not None:
+        from lvc_tpu.structures.masks import bitmask_to_rle, paste_masks_np
+
+        scaled = boxes * np.array([sx, sy, sx, sy], np.float64)
+        keep = np.flatnonzero(valid)
+        pasted = paste_masks_np(
+            np.asarray(dets.masks, np.float32)[keep], scaled[keep], (oh, ow)
+        )
+        masks = {}
+        for j, i in enumerate(keep):
+            masks[int(i)] = bitmask_to_rle(pasted[j])
+    for i, (b, s, c, v) in enumerate(zip(boxes, scores, classes, valid)):
         if not v:
             continue
         x0, y0, x1, y1 = b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy
-        rows.append(
-            {
-                "image_id": int(meta["image_id"]),
-                "category_id": int(c),
-                "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
-                "score": float(s),
-            }
-        )
+        row = {
+            "image_id": int(meta["image_id"]),
+            "category_id": int(c),
+            "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
+            "score": float(s),
+        }
+        if masks is not None:
+            row["segmentation"] = masks[i]
+        rows.append(row)
     return rows
 
 
-def _evaluate_predictions_on_coco(coco_gt: COCO, coco_results: List[dict], catIds=None) -> COCOeval:
+def _evaluate_predictions_on_coco(
+    coco_gt: COCO, coco_results: List[dict], catIds=None, iou_type: str = "bbox"
+) -> COCOeval:
     from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
 
     coco_dt = coco_gt.loadRes(copy.deepcopy(coco_results))
-    coco_eval = COCOeval_opt(coco_gt, coco_dt)
+    coco_eval = COCOeval_opt(coco_gt, coco_dt, iouType=iou_type)
     if catIds is not None:
         coco_eval.params.catIds = list(catIds)
     coco_eval.evaluate()
@@ -167,14 +186,24 @@ class COCOEvaluator:
                     "nAP", results["bbox"].get("bAP")
                 )
         else:
-            coco_eval = (
-                _evaluate_predictions_on_coco(self._coco_api, coco_results)
-                if coco_results
-                else None
-            )
-            results["bbox"] = self._derive_coco_results(
-                coco_eval, class_names=self._metadata.get("thing_classes")
-            )
+            # non-splits path: evaluate every present task, matching the
+            # d2-side evaluator (the reference's lvc evaluator hardcodes
+            # bbox even with MASK_ON; segm lives in the vendored d2 one,
+            # detectron2/evaluation/coco_evaluation.py:146-171)
+            tasks = ["bbox"]
+            if any("segmentation" in r for r in coco_results[:1]):
+                tasks.append("segm")
+            for task in tasks:
+                coco_eval = (
+                    _evaluate_predictions_on_coco(
+                        self._coco_api, coco_results, iou_type=task
+                    )
+                    if coco_results
+                    else None
+                )
+                results[task] = self._derive_coco_results(
+                    coco_eval, class_names=self._metadata.get("thing_classes")
+                )
         return results
 
     def _derive_coco_results(self, coco_eval: Optional[COCOeval], class_names=None) -> Dict[str, float]:

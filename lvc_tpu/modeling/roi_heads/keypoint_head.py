@@ -55,6 +55,10 @@ def keypoints_to_heatmap_targets(
     gy = (y - boxes[:, 1:2]) / bh * M
     ix = jnp.floor(gx).astype(jnp.int32)
     iy = jnp.floor(gy).astype(jnp.int32)
+    # a keypoint exactly on the roi's right/bottom edge bins into the last
+    # cell and stays valid (keypoints.py:122-132 boundary_inds rule)
+    ix = jnp.where(x == boxes[:, 2:3], M - 1, ix)
+    iy = jnp.where(y == boxes[:, 3:4], M - 1, iy)
     inside = (ix >= 0) & (ix < M) & (iy >= 0) & (iy < M)
     ix = jnp.clip(ix, 0, M - 1)
     iy = jnp.clip(iy, 0, M - 1)

@@ -129,35 +129,38 @@ def paste_masks_in_image(
 
     Fixed-shape: every output pixel bilinearly samples its source roi
     coordinate (the inverse mapping of the crop), giving (D, H, W) without
-    data-dependent slicing.
+    data-dependent slicing. Matches the reference's grid_sample
+    (align_corners=False, padding_mode='zeros') semantics exactly:
+    out-of-range taps contribute zero, so mask values fade linearly to 0
+    over the half-pixel band outside the roi; binarization is
+    ``>= threshold`` (mask_ops.py:131).
     """
     D, M, _ = masks.shape
     H, W = image_hw
     ys = jnp.arange(H, dtype=jnp.float32) + 0.5  # pixel centers
     xs = jnp.arange(W, dtype=jnp.float32) + 0.5
 
+    def axis_taps(coords, lo, size):
+        # image pixel -> roi grid coordinate (align_corners=False inverse)
+        g = (coords - lo) / size * M - 0.5
+        i0 = jnp.floor(g).astype(jnp.int32)
+        f = g - i0
+        i1 = i0 + 1
+        # zeros padding: out-of-range taps carry zero weight
+        w0 = jnp.where((i0 >= 0) & (i0 < M), 1.0 - f, 0.0)
+        w1 = jnp.where((i1 >= 0) & (i1 < M), f, 0.0)
+        return jnp.clip(i0, 0, M - 1), jnp.clip(i1, 0, M - 1), w0, w1
+
     def per_det(mask, box):
         bw = jnp.maximum(box[2] - box[0], 1e-4)
         bh = jnp.maximum(box[3] - box[1], 1e-4)
-        # image pixel -> roi grid coordinate
-        gx = (xs - box[0]) / bw * M - 0.5
-        gy = (ys - box[1]) / bh * M - 0.5
-        inside_x = (gx > -1.0) & (gx < M)
-        inside_y = (gy > -1.0) & (gy < M)
-        gx = jnp.clip(gx, 0.0, M - 1.0)
-        gy = jnp.clip(gy, 0.0, M - 1.0)
-        x0 = jnp.floor(gx).astype(jnp.int32)
-        y0 = jnp.floor(gy).astype(jnp.int32)
-        x1 = jnp.minimum(x0 + 1, M - 1)
-        y1 = jnp.minimum(y0 + 1, M - 1)
-        fx = gx - x0
-        fy = gy - y0
-        top = mask[y0][:, x0] * (1 - fx)[None, :] + mask[y0][:, x1] * fx[None, :]
-        bot = mask[y1][:, x0] * (1 - fx)[None, :] + mask[y1][:, x1] * fx[None, :]
-        out = top * (1 - fy)[:, None] + bot * fy[:, None]
-        out = jnp.where(inside_y[:, None] & inside_x[None, :], out, 0.0)
+        x0, x1, wx0, wx1 = axis_taps(xs, box[0], bw)
+        y0, y1, wy0, wy1 = axis_taps(ys, box[1], bh)
+        top = mask[y0][:, x0] * wx0[None, :] + mask[y0][:, x1] * wx1[None, :]
+        bot = mask[y1][:, x0] * wx0[None, :] + mask[y1][:, x1] * wx1[None, :]
+        out = top * wy0[:, None] + bot * wy1[:, None]
         if threshold >= 0:
-            return out > threshold
+            return out >= threshold
         return out
 
     return jax.vmap(per_det)(masks, boxes)

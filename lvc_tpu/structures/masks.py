@@ -85,6 +85,57 @@ def bitmask_to_rle(mask: np.ndarray) -> dict:
     return {"size": [h, w], "counts": [int(c) for c in lengths]}
 
 
+def paste_masks_np(
+    masks: np.ndarray,  # (D, M, M) probability masks
+    boxes: np.ndarray,  # (D, 4) XYXY image coords
+    image_hw: Tuple[int, int],
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Host-side numpy mirror of modeling/roi_heads/mask_head.py's
+    paste_masks_in_image (grid_sample align_corners=False zeros-padding
+    semantics of the reference's layers/mask_ops.py:67). Used by the
+    evaluator, where per-image output sizes vary (device version would
+    recompile per size)."""
+    masks = np.asarray(masks, np.float32)
+    boxes = np.asarray(boxes, np.float32)
+    D, M, _ = masks.shape
+    H, W = image_hw
+    out = np.zeros((D, H, W), bool if threshold >= 0 else np.float32)
+    ys = np.arange(H, dtype=np.float32) + 0.5
+    xs = np.arange(W, dtype=np.float32) + 0.5
+
+    def axis_taps(coords, lo, size):
+        g = (coords - lo) / max(size, 1e-4) * M - 0.5
+        i0 = np.floor(g).astype(np.int64)
+        f = (g - i0).astype(np.float32)
+        i1 = i0 + 1
+        w0 = np.where((i0 >= 0) & (i0 < M), 1.0 - f, 0.0)
+        w1 = np.where((i1 >= 0) & (i1 < M), f, 0.0)
+        return np.clip(i0, 0, M - 1), np.clip(i1, 0, M - 1), w0, w1
+
+    for i in range(D):
+        x0v, y0v, x1v, y1v = boxes[i]
+        # only the rows/cols whose taps can be non-zero (fixed-shape is a
+        # device concern; on host, slicing is the fast path)
+        cx0 = max(int(np.floor(x0v)) - 1, 0)
+        cx1 = min(int(np.ceil(x1v)) + 1, W)
+        cy0 = max(int(np.floor(y0v)) - 1, 0)
+        cy1 = min(int(np.ceil(y1v)) + 1, H)
+        if cx1 <= cx0 or cy1 <= cy0:
+            continue
+        x0, x1, wx0, wx1 = axis_taps(xs[cx0:cx1], x0v, x1v - x0v)
+        y0, y1, wy0, wy1 = axis_taps(ys[cy0:cy1], y0v, y1v - y0v)
+        m = masks[i]
+        top = m[y0][:, x0] * wx0[None, :] + m[y0][:, x1] * wx1[None, :]
+        bot = m[y1][:, x0] * wx0[None, :] + m[y1][:, x1] * wx1[None, :]
+        val = top * wy0[:, None] + bot * wy1[:, None]
+        if threshold >= 0:
+            out[i, cy0:cy1, cx0:cx1] = val >= threshold
+        else:
+            out[i, cy0:cy1, cx0:cx1] = val
+    return out
+
+
 class PolygonMasks:
     """A list (per instance) of polygon lists; lazily rasterizable."""
 

@@ -351,6 +351,10 @@ def load_reference():
     fast_rcnn = _load_file(
         "lvc.modeling.roi_heads.fast_rcnn", f"{R}/lvc/modeling/roi_heads/fast_rcnn.py"
     )
+    mask_ops = _load_file("detectron2.layers.mask_ops", f"{R}/detectron2/layers/mask_ops.py")
+    keypoints = _load_file(
+        "detectron2.structures.keypoints", f"{R}/detectron2/structures/keypoints.py"
+    )
 
     _CACHE = types.SimpleNamespace(
         env=env,
@@ -368,6 +372,8 @@ def load_reference():
         rpn=rpn,
         fast_rcnn=fast_rcnn,
         nms=nms_mod,
+        mask_ops=mask_ops,
+        keypoints=keypoints,
     )
     return _CACHE
 

@@ -620,3 +620,81 @@ def test_rpn_losses_parity(ref):
     }
     assert abs(o_losses["loss_rpn_cls"] - r_losses["loss_rpn_cls"]) < 1e-5
     assert abs(o_losses["loss_rpn_loc"] - r_losses["loss_rpn_loc"]) < 2e-4
+
+
+# ==========================================================================
+# Mask pasting vs reference layers/mask_ops.py (grid_sample semantics)
+# ==========================================================================
+
+
+def test_paste_masks_parity(ref):
+    torch = _torch()
+    from lvc_tpu.modeling.roi_heads.mask_head import paste_masks_in_image
+
+    rng = np.random.RandomState(7)
+    N, M, H, W = 12, 28, 64, 96
+    masks = rng.rand(N, M, M).astype(np.float32)
+    # boxes including image-boundary-crossing ones (zeros-padding band)
+    w = rng.uniform(4, 50, N)
+    h = rng.uniform(4, 40, N)
+    x0 = rng.uniform(-10, W - 5, N)
+    y0 = rng.uniform(-10, H - 5, N)
+    boxes = np.stack([x0, y0, x0 + w, y0 + h], -1).astype(np.float32)
+
+    want = ref.mask_ops.paste_masks_in_image(
+        torch.from_numpy(masks), torch.from_numpy(boxes), (H, W), threshold=0.5
+    ).numpy()
+    got = np.asarray(
+        paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), (H, W), threshold=0.5)
+    )
+    # identical binarized masks (float rounding at the 0.5 boundary could
+    # in principle flip a pixel; fixed seed keeps this deterministic)
+    np.testing.assert_array_equal(got, want.astype(bool))
+
+    # soft masks: reference returns uint8*255 when threshold<0
+    want_soft = ref.mask_ops.paste_masks_in_image(
+        torch.from_numpy(masks), torch.from_numpy(boxes), (H, W), threshold=-1
+    ).numpy().astype(np.float32)
+    got_soft = np.asarray(
+        paste_masks_in_image(jnp.asarray(masks), jnp.asarray(boxes), (H, W), threshold=-1)
+    )
+    assert np.max(np.abs(got_soft * 255.0 - want_soft)) <= 1.0 + 1e-3
+
+
+# ==========================================================================
+# Keypoint heatmap target encoding vs reference structures/keypoints.py
+# ==========================================================================
+
+
+def test_keypoints_to_heatmap_parity(ref):
+    torch = _torch()
+    from lvc_tpu.modeling.roi_heads.keypoint_head import keypoints_to_heatmap_targets
+
+    rng = np.random.RandomState(3)
+    S, K, M = 16, 17, 56
+    boxes = _rand_boxes_in(rng, S, 120, 160, min_side=6.0)
+    # keypoints scattered around each roi (some outside), plus exact
+    # right/bottom-edge points to exercise the boundary_inds rule
+    cx = (boxes[:, 0:1] + boxes[:, 2:3]) / 2
+    cy = (boxes[:, 1:2] + boxes[:, 3:4]) / 2
+    spread_x = (boxes[:, 2:3] - boxes[:, 0:1]) * rng.uniform(-0.7, 0.7, (S, K))
+    spread_y = (boxes[:, 3:4] - boxes[:, 1:2]) * rng.uniform(-0.7, 0.7, (S, K))
+    x = cx + spread_x
+    y = cy + spread_y
+    x[:, 0] = boxes[:, 2]  # exactly on the right edge
+    y[:, 1] = boxes[:, 3]  # exactly on the bottom edge
+    vis = (rng.rand(S, K) > 0.2).astype(np.float32) * 2.0
+    kps = np.stack([x, y, np.broadcast_to(vis, x.shape)], -1).astype(np.float32)
+
+    want_maps, want_valid = ref.keypoints._keypoints_to_heatmap(
+        torch.from_numpy(kps), torch.from_numpy(boxes), M
+    )
+    got_maps, got_valid = keypoints_to_heatmap_targets(
+        jnp.asarray(kps), jnp.asarray(boxes), M
+    )
+    got_valid = np.asarray(got_valid)
+    np.testing.assert_array_equal(got_valid.astype(np.int64), want_valid.numpy())
+    # reference zeroes invalid bins (heatmaps = lin_ind * valid)
+    np.testing.assert_array_equal(
+        np.asarray(got_maps) * got_valid, want_maps.numpy()
+    )
