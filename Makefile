@@ -1,0 +1,24 @@
+# Developer entry points. `make check` is the pre-commit gate: the fast
+# test tier (~70 s on 8 virtual CPU devices) must be green before every
+# commit (VERDICT r2 weak #1 / next #9).
+
+PY ?= python
+
+.PHONY: check check-parity check-slow check-all
+
+check:
+	$(PY) -m pytest tests/ -q -m "not slow" \
+	  --ignore=tests/test_reference_parity.py \
+	  --ignore=tests/test_model_forward_parity.py
+
+# Oracle tests against the reference's own torch/C++ implementations
+# (requires /root/reference and a g++ toolchain).
+check-parity:
+	$(PY) -m pytest tests/test_reference_parity.py tests/test_model_forward_parity.py -q
+
+# The slow tier: full-model compiles, multi-device shard_map tests.
+check-slow:
+	$(PY) -m pytest tests/ -q -m slow
+
+check-all:
+	$(PY) -m pytest tests/ -q

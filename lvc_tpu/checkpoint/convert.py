@@ -48,6 +48,10 @@ def torch_to_flax(state_dict: Dict[str, np.ndarray]) -> Dict:
         for p in parts:
             if fused and _RES_STAGE.fullmatch(fused[-1]) and p.isdigit():
                 fused[-1] = fused[-1] + "." + p
+            elif fused and fused[-1] in ("box_head", "box_predictor") and p.isdigit():
+                # cascade ModuleList stages (lvc cascade_rcnn.py:69-80):
+                # box_head.0 -> our per-stage flax name box_head_0
+                fused[-1] = fused[-1] + "_" + p
             else:
                 fused.append(p)
         parts = fused
@@ -112,9 +116,17 @@ def flax_to_torch(variables: Dict) -> Dict[str, np.ndarray]:
     params = flatten_dict(variables.get("params", {}))
     stats = flatten_dict(variables.get("batch_stats", {}))
 
+    _cascade = re.compile(r"(box_head|box_predictor)_(\d+)")
+
+    def _unfuse(parts):
+        return [
+            _cascade.fullmatch(p).expand(r"\1.\2") if _cascade.fullmatch(p) else p
+            for p in parts
+        ]
+
     for path, v in params.items():
         v = np.asarray(v)
-        parts = list(path)
+        parts = _unfuse(list(path))
         if parts[-1] == "kernel" and parts[-2] == "conv":
             out[".".join(parts[:-2]) + ".weight"] = v.transpose(3, 2, 0, 1)
         elif parts[-1] == "bias" and parts[-2] == "conv":
@@ -128,7 +140,7 @@ def flax_to_torch(variables: Dict) -> Dict[str, np.ndarray]:
         else:
             out[".".join(parts)] = v
     for path, v in stats.items():
-        parts = list(path)
+        parts = _unfuse(list(path))
         assert parts[-2] == "FrozenBatchNorm_0", path
         out[".".join(parts[:-2]) + ".norm." + parts[-1]] = np.asarray(v)
     return out

@@ -14,6 +14,8 @@ import time
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence, Union
 
+import numpy as np
+
 
 class COCO:
     def __init__(self, annotation_file: Optional[Union[str, dict]] = None):
@@ -126,6 +128,33 @@ class COCO:
                 bb = ann["bbox"]
                 if "area" not in ann:
                     ann["area"] = bb[2] * bb[3]
+                ann["id"] = i + 1
+                ann.setdefault("iscrowd", 0)
+        elif "segmentation" in anns[0]:
+            # segm results (bbox popped by the caller): area and bbox come
+            # from the mask (pycocotools loadRes maskUtils.area/toBbox
+            # semantics), so S/M/L area ranges follow the mask for segm eval
+            from lvc_tpu.structures.masks import (
+                polygons_to_bitmask,
+                rle_to_bitmask,
+            )
+
+            res.dataset["categories"] = copy.deepcopy(self.dataset["categories"])
+            for i, ann in enumerate(anns):
+                seg = ann["segmentation"]
+                if isinstance(seg, dict):
+                    m = rle_to_bitmask(seg)
+                else:
+                    img = self.imgs[ann["image_id"]]
+                    m = polygons_to_bitmask(seg, img["height"], img["width"])
+                ann["area"] = float(m.sum())
+                if "bbox" not in ann:
+                    ys, xs = np.nonzero(m)
+                    if len(xs):
+                        x0, y0 = float(xs.min()), float(ys.min())
+                        ann["bbox"] = [x0, y0, float(xs.max()) + 1 - x0, float(ys.max()) + 1 - y0]
+                    else:
+                        ann["bbox"] = [0.0, 0.0, 0.0, 0.0]
                 ann["id"] = i + 1
                 ann.setdefault("iscrowd", 0)
         res.dataset["annotations"] = anns

@@ -41,12 +41,17 @@ def bbox_iou_xywh(dets: np.ndarray, gts: np.ndarray, iscrowd: np.ndarray) -> np.
 _POPCOUNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def _ann_mask_bits(ann: dict, h: int, w: int):
+def _ann_mask_bits(ann: dict, h: int, w: int, cache: Optional[dict] = None):
     """Decode an annotation's segmentation to packed bits (np.packbits of
-    the row-major flattened bool mask) + pixel area, cached on the ann."""
-    cached = ann.get("_mask_bits")
-    if cached is not None:
-        return cached
+    the row-major flattened bool mask) + pixel area. ``cache`` (keyed by
+    the ann dict's identity) lives on the COCOeval instance so the packed
+    masks are freed with the evaluation instead of accumulating on the
+    shared gt object (~H*W/8 bytes per ann — over a GB on COCO val)."""
+    key = id(ann)
+    if cache is not None:
+        cached = cache.get(key)
+        if cached is not None:
+            return cached
     from lvc_tpu.structures.masks import polygons_to_bitmask, rle_to_bitmask
 
     seg = ann["segmentation"]
@@ -54,10 +59,10 @@ def _ann_mask_bits(ann: dict, h: int, w: int):
         m = rle_to_bitmask(seg)
     else:
         m = polygons_to_bitmask(seg, h, w)
-    bits = np.packbits(m.reshape(-1))
-    area = int(m.sum())
-    ann["_mask_bits"] = (bits, area)
-    return ann["_mask_bits"]
+    out = (np.packbits(m.reshape(-1)), int(m.sum()))
+    if cache is not None:
+        cache[key] = out
+    return out
 
 
 def segm_iou(dt_bits, gt_bits, iscrowd) -> np.ndarray:
@@ -150,9 +155,12 @@ class COCOeval:
         if p.iouType == "segm":
             img = self.cocoGt.imgs[imgId]
             h, w = img["height"], img["width"]
+            cache = getattr(self, "_mask_bits_cache", None)
+            if cache is None:
+                cache = self._mask_bits_cache = {}
             return segm_iou(
-                [_ann_mask_bits(x, h, w) for x in dt],
-                [_ann_mask_bits(x, h, w) for x in gt],
+                [_ann_mask_bits(x, h, w, cache) for x in dt],
+                [_ann_mask_bits(x, h, w, cache) for x in gt],
                 iscrowd,
             )
         d = np.array([x["bbox"] for x in dt], dtype=np.float64)

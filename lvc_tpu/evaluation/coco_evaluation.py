@@ -35,9 +35,12 @@ BASE_CLASS_IDS = [
 NOVEL_CLASS_IDS = [1, 2, 3, 4, 5, 6, 7, 9, 16, 17, 18, 19, 20, 21, 44, 62, 63, 64, 67, 72]
 
 
-def detections_to_coco_json(dets, meta: dict) -> List[dict]:
+def detections_to_coco_json(dets, meta: dict, reverse_id_map=None) -> List[dict]:
     """One image's padded Detections -> COCO result rows, rescaled from the
-    resized canvas coords to the original image size. When the model ran
+    resized canvas coords to the original image size. ``reverse_id_map``
+    maps contiguous class indices to dataset category ids at process time,
+    like the reference (lvc/evaluation/coco_evaluation.py:96-117); without
+    it the contiguous index is emitted as-is. When the model ran
     with MASK_ON, roi-space probability masks are pasted at the original
     resolution and emitted as uncompressed RLE "segmentation" (the
     reference emits compressed RLE via pycocotools, coco_evaluation.py:334;
@@ -66,9 +69,10 @@ def detections_to_coco_json(dets, meta: dict) -> List[dict]:
         if not v:
             continue
         x0, y0, x1, y1 = b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy
+        cat = int(c) if reverse_id_map is None else int(reverse_id_map[int(c)])
         row = {
             "image_id": int(meta["image_id"]),
-            "category_id": int(c),
+            "category_id": cat,
             "bbox": [float(x0), float(y0), float(x1 - x0), float(y1 - y0)],
             "score": float(s),
         }
@@ -83,7 +87,15 @@ def _evaluate_predictions_on_coco(
 ) -> COCOeval:
     from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
 
-    coco_dt = coco_gt.loadRes(copy.deepcopy(coco_results))
+    coco_results = copy.deepcopy(coco_results)
+    if iou_type == "segm":
+        # When evaluating masks, the result area (-> small/medium/large
+        # assignment) must come from the mask, not the box: pop bbox so
+        # loadRes takes the segmentation branch, exactly like the reference
+        # (detectron2/evaluation/coco_evaluation.py:489-496).
+        for c in coco_results:
+            c.pop("bbox", None)
+    coco_dt = coco_gt.loadRes(coco_results)
     coco_eval = COCOeval_opt(coco_gt, coco_dt, iouType=iou_type)
     if catIds is not None:
         coco_eval.params.catIds = list(catIds)
@@ -103,6 +115,11 @@ class COCOEvaluator:
         self._do_evaluation = "annotations" in self._coco_api.dataset
         self._training_set = "trainval" in dataset_name
         self._is_splits = any(s in dataset_name for s in ("all", "base", "novel"))
+        # contiguous -> dataset category ids, applied at process time
+        # (the reference maps per row in its process loop,
+        # lvc/evaluation/coco_evaluation.py:96-117)
+        id_map = self._metadata.get("thing_dataset_id_to_contiguous_id")
+        self._reverse_id_map = {v: k for k, v in id_map.items()} if id_map else None
         self._predictions: List[dict] = []
 
     def reset(self):
@@ -119,7 +136,9 @@ class COCOEvaluator:
                 continue
             from lvc_tpu.modeling.roi_heads.fast_rcnn import index_detections
             one = index_detections(dets, i)
-            self._predictions.extend(detections_to_coco_json(one, meta))
+            self._predictions.extend(
+                detections_to_coco_json(one, meta, self._reverse_id_map)
+            )
 
     def evaluate(self) -> "OrderedDict":
         # multi-host: merge per-process prediction shards (reference
@@ -132,13 +151,9 @@ class COCOEvaluator:
             if not comm.is_main_process():
                 return OrderedDict()
             self._predictions = [r for shard in shards for r in shard]
+        # predictions already carry dataset category ids (mapped at
+        # process time, matching the reference)
         coco_results = copy.deepcopy(self._predictions)
-        # contiguous -> dataset category ids
-        id_map = self._metadata.get("thing_dataset_id_to_contiguous_id")
-        if id_map:
-            reverse = {v: k for k, v in id_map.items()}
-            for r in coco_results:
-                r["category_id"] = reverse[r["category_id"]]
 
         if self._output_dir:
             os.makedirs(self._output_dir, exist_ok=True)
@@ -191,7 +206,7 @@ class COCOEvaluator:
             # bbox even with MASK_ON; segm lives in the vendored d2 one,
             # detectron2/evaluation/coco_evaluation.py:146-171)
             tasks = ["bbox"]
-            if any("segmentation" in r for r in coco_results[:1]):
+            if any("segmentation" in r for r in coco_results):
                 tasks.append("segm")
             for task in tasks:
                 coco_eval = (

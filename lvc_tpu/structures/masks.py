@@ -116,11 +116,15 @@ def paste_masks_np(
     for i in range(D):
         x0v, y0v, x1v, y1v = boxes[i]
         # only the rows/cols whose taps can be non-zero (fixed-shape is a
-        # device concern; on host, slicing is the fast path)
-        cx0 = max(int(np.floor(x0v)) - 1, 0)
-        cx1 = min(int(np.ceil(x1v)) + 1, W)
-        cy0 = max(int(np.floor(y0v)) - 1, 0)
-        cy1 = min(int(np.ceil(y1v)) + 1, H)
+        # device concern; on host, slicing is the fast path). The zeros-
+        # padding fade band extends box_size/(2M) px past the box edge, so
+        # the crop margin must scale with the box, not be a fixed 1px.
+        mx = int(np.ceil(max(x1v - x0v, 0.0) / (2 * M))) + 1
+        my = int(np.ceil(max(y1v - y0v, 0.0) / (2 * M))) + 1
+        cx0 = max(int(np.floor(x0v)) - mx, 0)
+        cx1 = min(int(np.ceil(x1v)) + mx, W)
+        cy0 = max(int(np.floor(y0v)) - my, 0)
+        cy1 = min(int(np.ceil(y1v)) + my, H)
         if cx1 <= cx0 or cy1 <= cy0:
             continue
         x0, x1, wx0, wx1 = axis_taps(xs[cx0:cx1], x0v, x1v - x0v)

@@ -239,3 +239,177 @@ def test_train_loss_parity_exhaustive_sampling(setup):
     # well-conditioned init magnitudes (VERDICT #6): CE ~= ln(81)
     assert 3.5 < o_losses["loss_cls"] < 5.5, o_losses["loss_cls"]
     assert 0.2 < o_losses["loss_rpn_cls"] < 1.5, o_losses["loss_rpn_cls"]
+
+
+# ==========================================================================
+# LVC correction-inference path: GeneralizedRCNNRegOnly + CascadeROIHeads +
+# BoxOnlyLayersCascade (_forward_box_qe) vs the ACTUAL reference model
+# (VERDICT r2 next #3b)
+# ==========================================================================
+
+
+def test_reg_only_cascade_correction_parity():
+    """Same candidate boxes in, same corrected boxes out: the reference's
+    cascade box-correction inference (lvc cascade_rcnn.py:167-227 through
+    GeneralizedRCNNRegOnly, rcnn.py:336-410) vs our RegOnlyOutput path, on
+    a converted checkpoint."""
+    import torch
+
+    m = load_reference_model_modules()
+    cfg_r = m.get_cfg()
+    cfg_r.merge_from_file("/root/reference/configs/Base-RCNN-FPN.yaml")
+    cfg_r.MODEL.DEVICE = "cpu"
+    cfg_r.MODEL.META_ARCHITECTURE = "GeneralizedRCNNRegOnly"
+    cfg_r.MODEL.PROPOSAL_GENERATOR.NAME = "RBG"
+    cfg_r.MODEL.ROI_HEADS.NAME = "CascadeROIHeads"
+    cfg_r.MODEL.ROI_HEADS.OUTPUT_LAYER = "BoxOnlyLayersCascade"
+    cfg_r.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.3]
+    cfg_r.MODEL.ROI_HEADS.NUM_CLASSES = 6
+    cfg_r.MODEL.ROI_BOX_CASCADE_HEAD.IOUS = [0.3, 0.5, 0.7]
+    cfg_r.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    m.set_global_cfg(cfg_r)  # _forward_box_qe dispatch reads global_cfg
+    torch.manual_seed(3)
+    ref_model = m.build_model(cfg_r)
+    ref_model.eval()
+    with torch.no_grad():
+        for name, p in ref_model.named_parameters():
+            if p.ndim == 4:
+                p.mul_(0.65)
+            if "bbox_pred" in name:
+                # std-0.001 random regressors barely move boxes; amplify so
+                # the cascade correction is a non-trivial multi-px path
+                p.mul_(25.0)
+
+    h, w = 128, 160
+    rng = np.random.RandomState(17)
+    img_hwc = (rng.rand(h, w, 3) * 255).astype(np.float32)
+    img_chw = img_hwc.transpose(2, 0, 1)
+    cand = np.array(
+        [[20.0, 30.0, 90.0, 100.0],
+         [60.0, 10.0, 150.0, 70.0],
+         [5.0, 80.0, 40.0, 120.0],
+         [100.0, 60.0, 155.0, 125.0]],
+        np.float32,
+    )
+    cand_cls = np.array([3, 0, 5, 2], np.int64)
+
+    inst = m.base.instances.Instances((h, w))
+    inst.gt_boxes = m.base.boxes.Boxes(torch.from_numpy(cand.copy()))
+    inst.gt_classes = torch.from_numpy(cand_cls.copy())
+    with torch.no_grad():
+        out = ref_model.inference(
+            [{"image": torch.from_numpy(img_chw), "height": h, "width": w,
+              "instances": inst}]
+        )
+    r = out[0]["instances"]
+    r_boxes = r.pred_boxes.tensor.numpy()
+    r_classes = r.pred_classes.numpy()
+
+    from lvc_tpu.checkpoint.convert import torch_to_flax
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.modeling.meta_arch.build import build_model
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = jax.tree_util.tree_map(jnp.asarray, torch_to_flax(sd))
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNRegOnly"
+    cfg.MODEL.PROPOSAL_GENERATOR.NAME = "RBG"
+    cfg.MODEL.ROI_HEADS.NAME = "CascadeROIHeads"
+    cfg.MODEL.ROI_HEADS.OUTPUT_LAYER = "BoxOnlyLayersCascade"
+    cfg.MODEL.ROI_HEADS.IOU_THRESHOLDS = [0.3]
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 6
+    cfg.MODEL.ROI_BOX_CASCADE_HEAD.IOUS = [0.3, 0.5, 0.7]
+    cfg.MODEL.ROI_BOX_HEAD.CLS_AGNOSTIC_BBOX_REG = True
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 4
+    our_model = build_model(cfg)
+
+    batch = {
+        "image": jnp.asarray(img_hwc)[None],
+        "image_size": jnp.asarray([[h, w]], np.int32),
+        "gt_boxes": jnp.asarray(cand)[None],
+        "gt_classes": jnp.asarray(cand_cls.astype(np.int32))[None],
+        "gt_valid": jnp.ones((1, 4), bool),
+    }
+    out = our_model.apply(variables, batch, train=False)
+    o_valid = np.asarray(out.valid[0])
+    assert o_valid.all(), o_valid  # all candidates are fg
+    o_boxes = np.asarray(out.boxes[0])
+    o_classes = np.asarray(out.classes[0])
+
+    assert len(r_boxes) == 4, len(r_boxes)
+    np.testing.assert_array_equal(o_classes, r_classes)
+    # the 25x-amplified random regressors turn ~1e-6 relative conv noise
+    # into ~0.1px divergence across the 3 re-pooling stages; 0.2px against
+    # multi-px corrections still pins the cascade semantics
+    np.testing.assert_allclose(o_boxes, r_boxes, rtol=2e-3, atol=0.2)
+    # the correction must actually move the boxes (non-trivial cascade)
+    assert np.abs(o_boxes - cand).max() > 0.5
+
+
+def test_forward_parity_r101_converted_checkpoint():
+    """R-101-depth forward parity (the BENCH config's backbone depth):
+    reference GeneralizedRCNN @ depth 101 vs ours on a converted
+    checkpoint (VERDICT r2 next #3d)."""
+    import torch
+
+    m = load_reference_model_modules()
+    cfg_r = m.get_cfg()
+    cfg_r.merge_from_file("/root/reference/configs/Base-RCNN-FPN.yaml")
+    cfg_r.MODEL.DEVICE = "cpu"
+    cfg_r.MODEL.RESNETS.DEPTH = 101
+    cfg_r.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    cfg_r.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    cfg_r.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    cfg_r.TEST.DETECTIONS_PER_IMAGE = 50
+    torch.manual_seed(0)
+    ref_model = m.build_model(cfg_r)
+    ref_model.eval()
+    # deeper stack: 0.66 keeps the 101-layer activation growth in the live
+    # regime (50 detections with well-spread scores ~0.17-0.05; 0.70
+    # saturates ~0.7, 0.63 drops everything near the 0.05 threshold)
+    with torch.no_grad():
+        for p in ref_model.parameters():
+            if p.ndim == 4:
+                p.mul_(0.66)
+
+    from lvc_tpu.checkpoint.convert import torch_to_flax
+    from lvc_tpu.config import get_cfg
+    from lvc_tpu.modeling.meta_arch.build import build_model
+
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    variables = jax.tree_util.tree_map(jnp.asarray, torch_to_flax(sd))
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/Base-RCNN-FPN.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 101
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.05
+    cfg.MODEL.ROI_HEADS.NMS_THRESH_TEST = 0.5
+    cfg.TEST.DETECTIONS_PER_IMAGE = 50
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 4
+    our_model = build_model(cfg)
+
+    rng = np.random.RandomState(5)
+    h, w = 256, 320
+    img_hwc = (rng.rand(h, w, 3) * 255).astype(np.float32)
+    img_chw = img_hwc.transpose(2, 0, 1)
+
+    r_boxes, r_scores, r_classes = _run_ref(ref_model, img_chw, h, w)
+    o_boxes, o_scores, o_classes = _run_ours(our_model, variables, img_hwc, h, w)
+
+    n = min(len(r_scores), len(o_scores), 30)
+    assert n >= 10, (len(r_scores), len(o_scores))
+    np.testing.assert_allclose(o_scores[:5], r_scores[:5], rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(o_classes[:5], r_classes[:5])
+    np.testing.assert_allclose(o_boxes[:5], r_boxes[:5], rtol=1e-3, atol=5e-2)
+    matched = 0
+    for i in range(n):
+        same_cls = o_classes == r_classes[i]
+        close_score = np.abs(o_scores - r_scores[i]) < 1e-4
+        close_box = np.abs(o_boxes - r_boxes[i]).max(-1) < 0.1
+        if np.any(same_cls & close_score & close_box):
+            matched += 1
+    assert matched >= n - 2, (matched, n)

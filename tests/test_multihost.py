@@ -54,8 +54,9 @@ def test_sharded_coco_eval_matches_unsharded(tmp_path, monkeypatch):
         thing_dataset_id_to_contiguous_id={1: 0}, evaluator_type="coco",
     )
 
+    # rows carry dataset category ids (mapping happens at process time)
     rows = [
-        {"image_id": i + 1, "category_id": 0,
+        {"image_id": i + 1, "category_id": 1,
          "bbox": [10, 10, 30, 30], "score": 0.9 - 0.01 * i}
         for i in range(6)
     ]

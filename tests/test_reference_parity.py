@@ -698,3 +698,336 @@ def test_keypoints_to_heatmap_parity(ref):
     np.testing.assert_array_equal(
         np.asarray(got_maps) * got_valid, want_maps.numpy()
     )
+
+
+# ==========================================================================
+# COCOeval vs compiled cocoeval.cpp (the reference's C++ Accumulate +
+# EvaluateImages, driven exactly like fast_eval_api.py:24-116)
+# ==========================================================================
+
+
+@pytest.fixture(scope="module")
+def cocoeval_ext():
+    from tests.reference_harness import compiled_reference_cocoeval
+
+    return compiled_reference_cocoeval()
+
+
+def _synth_coco_pair(seed, n_imgs=8, cat_ids=(1, 3, 7), tie_scores=False,
+                     crowd_frac=0.15, ignore_frac=0.1, miss_frac=0.2,
+                     extra_dets=3):
+    """Randomized gt dataset + detection rows spanning the accumulate
+    semantics space: crowds, explicit ignore flags, areas across all
+    ranges, score ties, per-image/category emptiness."""
+    from lvc_tpu.data.coco_api import COCO
+
+    rng = np.random.RandomState(seed)
+    images, anns, rows = [], [], []
+    aid = 1
+    for img_id in range(1, n_imgs + 1):
+        W, H = int(rng.randint(300, 640)), int(rng.randint(300, 640))
+        images.append({"id": img_id, "height": H, "width": W})
+        for cat in cat_ids:
+            n_gt = int(rng.randint(0, 5))
+            for _ in range(n_gt):
+                # log-uniform sides: areas cross the 32^2 / 96^2 boundaries
+                w = float(np.exp(rng.uniform(np.log(4), np.log(250))))
+                h = float(np.exp(rng.uniform(np.log(4), np.log(250))))
+                x0 = float(rng.uniform(0, W - w))
+                y0 = float(rng.uniform(0, H - h))
+                ann = {
+                    "id": aid, "image_id": img_id, "category_id": cat,
+                    "bbox": [x0, y0, w, h], "area": w * h,
+                    "iscrowd": int(rng.rand() < crowd_frac),
+                }
+                if rng.rand() < ignore_frac:
+                    ann["ignore"] = 1
+                anns.append(ann)
+                aid += 1
+                # detection: usually a jittered copy of the gt
+                if rng.rand() > miss_frac:
+                    jx, jy = rng.uniform(-0.2, 0.2, 2) * np.array([w, h])
+                    jw = w * rng.uniform(0.75, 1.3)
+                    jh = h * rng.uniform(0.75, 1.3)
+                    score = float(rng.uniform(0.05, 1.0))
+                    if tie_scores:
+                        score = round(score, 1)
+                    rows.append({
+                        "image_id": img_id, "category_id": cat,
+                        "bbox": [x0 + float(jx), y0 + float(jy), jw, jh],
+                        "score": score,
+                    })
+            # plus unmatched random detections
+            for _ in range(int(rng.randint(0, extra_dets + 1))):
+                w = float(np.exp(rng.uniform(np.log(4), np.log(250))))
+                h = float(np.exp(rng.uniform(np.log(4), np.log(250))))
+                score = float(rng.uniform(0.05, 1.0))
+                if tie_scores:
+                    score = round(score, 1)
+                rows.append({
+                    "image_id": img_id, "category_id": cat,
+                    "bbox": [float(rng.uniform(0, W - w)),
+                             float(rng.uniform(0, H - h)), w, h],
+                    "score": score,
+                })
+    gt = COCO({"images": images,
+               "categories": [{"id": c, "name": f"c{c}"} for c in cat_ids],
+               "annotations": anns})
+    return gt, rows
+
+
+def _run_reference_cocoeval(ext, gt, dt, maxDets=None, catIds=None):
+    """Drive the compiled reference EvaluateImages+Accumulate with our
+    python prep (gt/dt grouping and IoUs precomputed by OUR computeIoU, so
+    the oracle scopes to match/accumulate), replicating
+    detectron2/evaluation/fast_eval_api.py:24-116."""
+    from lvc_tpu.evaluation.coco_eval import COCOeval
+
+    ev = COCOeval(gt, dt)
+    if maxDets is not None:
+        ev.params.maxDets = list(maxDets)
+    if catIds is not None:
+        ev.params.catIds = list(catIds)
+    p = ev.params
+    p.imgIds = list(np.unique(p.imgIds))
+    p.catIds = list(np.unique(p.catIds))
+    p.maxDets = sorted(p.maxDets)
+    ev._prepare()
+    ev.ious = {
+        (i, c): np.asarray(ev.computeIoU(i, c), np.float64)
+        for i in p.imgIds for c in p.catIds
+    }
+
+    def conv(instances, is_det):
+        return [
+            ext.InstanceAnnotation(
+                int(x["id"]),
+                float(x["score"]) if is_det else float(x.get("score", 0.0)),
+                float(x["area"]),
+                bool(x.get("iscrowd", 0)),
+                bool(x.get("ignore", 0)),
+            )
+            for x in instances
+        ]
+
+    gts = [[conv(ev._gts[i, c], False) for c in p.catIds] for i in p.imgIds]
+    dts = [[conv(ev._dts[i, c], True) for c in p.catIds] for i in p.imgIds]
+    ious = [[ev.ious[i, c] for c in p.catIds] for i in p.imgIds]
+    eval_imgs = ext.COCOevalEvaluateImages(
+        [list(map(float, a)) for a in p.areaRng],
+        int(p.maxDets[-1]),
+        [float(t) for t in p.iouThrs],
+        ious, gts, dts,
+    )
+    out = ext.COCOevalAccumulate(p, eval_imgs)
+    counts = list(out["counts"])
+    precision = np.array(out["precision"]).reshape(counts)
+    recall = np.array(out["recall"]).reshape(counts[:1] + counts[2:])
+    scores = np.array(out["scores"]).reshape(counts)
+    # stats through our summarize on the reference arrays
+    ev.eval = {"params": p, "counts": counts, "precision": precision,
+               "recall": recall, "scores": scores}
+    stats = ev.summarize()
+    return precision, recall, scores, np.asarray(stats)
+
+
+def _run_our_cocoeval(impl, gt, dt, maxDets=None, catIds=None):
+    ev = impl(gt, dt)
+    if maxDets is not None:
+        ev.params.maxDets = sorted(maxDets)
+    if catIds is not None:
+        ev.params.catIds = list(catIds)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize()
+    return (ev.eval["precision"], ev.eval["recall"], ev.eval["scores"],
+            np.asarray(stats))
+
+
+@pytest.mark.parametrize("seed,ties", [(0, False), (1, True), (2, False)])
+def test_cocoeval_accumulate_vs_compiled_reference(cocoeval_ext, seed, ties):
+    """Our COCOeval and native COCOeval_opt produce the same
+    precision/recall/scores arrays and 12 stats as the reference's
+    compiled cocoeval.cpp on randomized gt/dt with crowds, ignores,
+    cross-range areas and (seed 1) score ties."""
+    from lvc_tpu.evaluation.coco_eval import COCOeval
+    from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
+
+    gt, rows = _synth_coco_pair(seed, tie_scores=ties)
+    dt = gt.loadRes(rows)
+    ref = _run_reference_cocoeval(cocoeval_ext, gt, dt)
+    for impl in (COCOeval, COCOeval_opt):
+        ours = _run_our_cocoeval(impl, gt, dt)
+        for name, a, b in zip(("precision", "recall", "scores", "stats"),
+                              ours, ref):
+            np.testing.assert_allclose(
+                a, b, rtol=0, atol=1e-12,
+                err_msg=f"{impl.__name__} {name} (seed={seed}, ties={ties})",
+            )
+
+
+def test_cocoeval_maxdets_and_catids_vs_compiled_reference(cocoeval_ext):
+    """Non-default maxDets tiers and a category subset (the b/n split
+    mechanism) against the compiled reference."""
+    from lvc_tpu.evaluation.coco_eval import COCOeval
+    from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
+
+    gt, rows = _synth_coco_pair(3, tie_scores=True)
+    dt = gt.loadRes(rows)
+    for maxDets, catIds in [([2, 5, 20], None), (None, [1, 7]), ([1, 3, 8], [3])]:
+        ref = _run_reference_cocoeval(cocoeval_ext, gt, dt, maxDets, catIds)
+        for impl in (COCOeval, COCOeval_opt):
+            ours = _run_our_cocoeval(impl, gt, dt, maxDets, catIds)
+            for name, a, b in zip(("precision", "recall", "scores", "stats"),
+                                  ours, ref):
+                np.testing.assert_allclose(
+                    a, b, rtol=0, atol=1e-12,
+                    err_msg=f"{impl.__name__} {name} maxDets={maxDets} catIds={catIds}",
+                )
+
+
+def test_cocoeval_edge_cases_vs_compiled_reference(cocoeval_ext):
+    """All-crowd gt, a category with no detections, an image with no gt."""
+    from lvc_tpu.data.coco_api import COCO
+    from lvc_tpu.evaluation.coco_eval import COCOeval
+    from lvc_tpu.evaluation.fast_eval_api import COCOeval_opt
+
+    images = [{"id": 1, "height": 200, "width": 200},
+              {"id": 2, "height": 200, "width": 200}]
+    anns = [
+        {"id": 1, "image_id": 1, "category_id": 1,
+         "bbox": [10, 10, 50, 50], "area": 2500.0, "iscrowd": 1},
+        {"id": 2, "image_id": 1, "category_id": 2,
+         "bbox": [100, 100, 40, 40], "area": 1600.0, "iscrowd": 0},
+    ]
+    gt = COCO({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]})
+    rows = [
+        {"image_id": 1, "category_id": 1, "bbox": [12, 12, 48, 48], "score": 0.9},
+        {"image_id": 1, "category_id": 1, "bbox": [11, 9, 52, 51], "score": 0.9},
+        {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 30], "score": 0.7},
+        {"image_id": 2, "category_id": 2, "bbox": [50, 50, 20, 20], "score": 0.6},
+    ]
+    dt = gt.loadRes(rows)
+    ref = _run_reference_cocoeval(cocoeval_ext, gt, dt)
+    for impl in (COCOeval, COCOeval_opt):
+        ours = _run_our_cocoeval(impl, gt, dt)
+        for name, a, b in zip(("precision", "recall", "scores", "stats"),
+                              ours, ref):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-12,
+                                       err_msg=f"{impl.__name__} {name}")
+
+
+# ==========================================================================
+# LVC-specific output layers vs the reference's own torch modules
+# (VERDICT r2 next #3a/#3c)
+# ==========================================================================
+
+
+def test_cosine_sim_output_layers_parity(ref):
+    """CosineSimOutputLayers forward (lvc fast_rcnn.py:721-841): identical
+    weights + features -> identical scores (scaled cosine) and deltas."""
+    torch = _torch()
+    from lvc_tpu.modeling.roi_heads.fast_rcnn import CosineSimOutputLayers
+
+    rng = np.random.RandomState(11)
+    C_in, num_classes = 64, 7
+    for scale in (20.0, -1.0):
+        ref_mod = ref.fast_rcnn.CosineSimOutputLayers(
+            input_shape=C_in,
+            box2box_transform=ref.box_regression.Box2BoxTransform(
+                weights=(10.0, 10.0, 5.0, 5.0)
+            ),
+            num_classes=num_classes,
+            scale=scale,
+        )
+        with torch.no_grad():
+            ref_mod.cls_score.weight.normal_(0, 0.5)
+            ref_mod.bbox_pred.weight.normal_(0, 0.1)
+            ref_mod.bbox_pred.bias.normal_(0, 0.05)
+            if scale == -1.0:
+                ref_mod.scale.fill_(17.0)
+        # copy BEFORE the forward: the reference normalizes cls_score.weight
+        # in place on every call (fast_rcnn.py:828-835)
+        w_cls = ref_mod.cls_score.weight.detach().numpy().copy()
+        w_reg = ref_mod.bbox_pred.weight.detach().numpy().copy()
+        b_reg = ref_mod.bbox_pred.bias.detach().numpy().copy()
+
+        x = rng.randn(13, C_in).astype(np.float32)
+        with torch.no_grad():
+            r_scores, r_deltas = ref_mod(torch.from_numpy(x))
+
+        ours = CosineSimOutputLayers(num_classes=num_classes, scale=scale)
+        params = {
+            "cls_score_weight": jnp.asarray(w_cls.T),
+            "bbox_pred": {"kernel": jnp.asarray(w_reg.T), "bias": jnp.asarray(b_reg)},
+        }
+        if scale == -1.0:
+            params["scale"] = jnp.asarray([17.0])
+        o_scores, o_deltas = ours.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(o_scores), r_scores.numpy(), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_deltas), r_deltas.numpy(), rtol=1e-5, atol=1e-6
+        )
+
+
+@pytest.mark.parametrize("iterate", [True, False])
+def test_ubbr_giou_delta_loss_parity(ref, iterate):
+    """BoxOnlyLayersCascade.box_reg_loss (roi_heads_cascade.py:140-195):
+    mean over fg of max(giou_after - lambda*giou_before, 0) when iterated
+    (CascadeUBBR), plain mean giou_after for per-stage CascadeROIHeads."""
+    torch = _torch()
+    from lvc_tpu.modeling.box_regression import Box2BoxTransform
+    from lvc_tpu.modeling.roi_heads.cascade_rcnn import ubbr_box_loss
+
+    rng = np.random.RandomState(31)
+    R, num_classes, lam = 24, 6, 0.6
+    weights = (10.0, 10.0, 5.0, 5.0)
+    boxes = _rand_boxes_in(rng, R, 256, 256, min_side=8.0)
+    gt_boxes = boxes + rng.randn(R, 4).astype(np.float32) * 4.0
+    gt_boxes[:, 2:] = np.maximum(gt_boxes[:, 2:], gt_boxes[:, :2] + 2)
+    # mix of fg classes and background (== num_classes, excluded from loss)
+    gt_classes = rng.randint(0, num_classes + 1, R).astype(np.int64)
+    gt_classes[:4] = [0, 1, num_classes, 3]  # ensure both kinds present
+    deltas = (rng.randn(R, 4) * 0.3).astype(np.float32)
+
+    # roi_heads_cascade is loaded by the full model-module harness
+    import sys
+
+    from tests.reference_harness import load_reference_model_modules
+
+    load_reference_model_modules()
+    rc = sys.modules["lvc.modeling.roi_heads.roi_heads_cascade"]
+    layer = rc.BoxOnlyLayersCascade(
+        input_shape=32,
+        box2box_transform=ref.box_regression.Box2BoxTransform(weights=weights),
+        num_classes=num_classes,
+        lambda_=lam,
+        roi_heads_name=("CascadeUBBRROIHeads" if iterate else "CascadeROIHeads"),
+    )
+    inst = ref.instances.Instances((256, 256))
+    inst.proposal_boxes = ref.boxes.Boxes(torch.from_numpy(boxes))
+    inst.gt_boxes = ref.boxes.Boxes(torch.from_numpy(gt_boxes))
+    inst.gt_classes = torch.from_numpy(gt_classes)
+    with torch.no_grad():
+        r_losses = layer.losses(
+            (num_classes, torch.from_numpy(deltas)), [inst]
+        )
+    r_loss = float(r_losses["loss_box_reg"])
+
+    tr = Box2BoxTransform(weights)
+    pred_boxes = tr.apply_deltas(jnp.asarray(deltas), jnp.asarray(boxes))
+    fg = (gt_classes >= 0) & (gt_classes < num_classes)
+    o_loss = float(
+        ubbr_box_loss(
+            pred_boxes,
+            jnp.asarray(boxes),
+            jnp.asarray(gt_boxes),
+            jnp.asarray(fg),
+            lam,
+            iterate=iterate,
+        )
+    )
+    assert abs(o_loss - r_loss) < 1e-5, (o_loss, r_loss, iterate)

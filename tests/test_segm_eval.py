@@ -104,8 +104,11 @@ def test_ann_mask_bits_decodes_polygons_and_rle():
     ann_poly = {"segmentation": [[5.0, 5.0, 24.0, 5.0, 24.0, 14.0, 5.0, 14.0]]}
     bits_p, area_p = _ann_mask_bits(ann_poly, H, W)
     assert area_p > 0
-    # cache hit returns the same object
-    assert _ann_mask_bits(ann_rle, H, W)[0] is bits
+    # cache hit returns the same object; the ann dict itself stays clean
+    cache = {}
+    first = _ann_mask_bits(ann_rle, H, W, cache)[0]
+    assert _ann_mask_bits(ann_rle, H, W, cache)[0] is first
+    assert "_mask_bits" not in ann_rle
 
 
 def test_paste_masks_np_matches_device_paste():
@@ -128,33 +131,49 @@ def test_paste_masks_np_matches_device_paste():
     np.testing.assert_array_equal(got, want)
 
 
-def test_evaluator_reports_segm_task(tmp_path):
-    """detections_to_coco_json emits RLEs; COCOEvaluator adds the segm
-    task on the non-splits path."""
+def _batched_dets(img_rects, H, W):
+    """Detections batched (B=len(img_rects)) whose boxes cover the given
+    rects exactly; all-ones roi masks paste to the box interior."""
+    from lvc_tpu.modeling.roi_heads.fast_rcnn import Detections
+
+    B, D, M = len(img_rects), 3, 28
+    boxes = np.zeros((B, D, 4), np.float32)
+    scores = np.zeros((B, D), np.float32)
+    classes = np.zeros((B, D), np.int64)
+    valid = np.zeros((B, D), bool)
+    for b, rect_list in enumerate(img_rects):
+        for j, (cls, (y0, x0, y1, x1)) in enumerate(rect_list):
+            boxes[b, j] = [x0, y0, x1, y1]
+            scores[b, j] = 0.9 - 0.1 * j
+            classes[b, j] = cls
+            valid[b, j] = True
+    return Detections(
+        boxes=boxes,
+        scores=scores,
+        classes=classes,
+        valid=valid,
+        proposal_idx=np.tile(np.arange(D), (B, 1)),
+        masks=np.ones((B, D, M, M), np.float32),
+        keypoints=None,
+    )
+
+
+def test_detections_to_coco_json_maps_category_ids():
+    """detections_to_coco_json applies the contiguous->dataset id map at
+    process time (reference lvc/evaluation/coco_evaluation.py:96-117)."""
     import json
 
     from lvc_tpu.evaluation.coco_evaluation import detections_to_coco_json
-    from lvc_tpu.modeling.roi_heads.fast_rcnn import Detections
+    from lvc_tpu.modeling.roi_heads.fast_rcnn import index_detections
 
     H, W = 32, 48
     gt, rects = _gt_dataset(H, W)
-    # one image's detections covering its two gt rects exactly; roi-space
-    # masks all ones -> pasted mask == box interior
-    boxes = np.array(
-        [[6, 4, 26, 20], [30, 10, 44, 28], [0, 0, 1, 1]], np.float32
-    )
-    dets = Detections(
-        boxes=boxes,
-        scores=np.array([0.9, 0.8, 0.1], np.float32),
-        classes=np.array([0, 1, 0]),
-        valid=np.array([True, True, False]),
-        proposal_idx=np.arange(3),
-        masks=np.ones((3, 28, 28), np.float32),
-        keypoints=None,
-    )
+    img_rects = [[(cat - 1, r) for (img, cat), r in rects.items() if img == 1]]
+    dets = index_detections(_batched_dets(img_rects, H, W), 0)
     meta = {"image_id": 1, "image_size": (H, W), "orig_size": (H, W)}
-    rows = detections_to_coco_json(dets, meta)
+    rows = detections_to_coco_json(dets, meta, reverse_id_map={0: 1, 1: 2})
     assert len(rows) == 2 and all("segmentation" in r for r in rows)
+    assert sorted(r["category_id"] for r in rows) == [1, 2]
     json.dumps(rows)  # must be serializable
 
     ev = COCOeval(gt, gt.loadRes(rows), iouType="segm")
@@ -165,3 +184,47 @@ def test_evaluator_reports_segm_task(tmp_path):
     # pasted all-ones roi masks fade in the border half-pixel (zeros
     # padding), so IoU is marginally below 1 but above every threshold
     assert ev.stats[0] > 0.99
+
+
+def test_evaluator_reports_segm_task(tmp_path):
+    """End-to-end COCOEvaluator with masks: register a synthetic dataset,
+    process_detections -> evaluate, segm AP ~ 100 for perfect masks
+    (VERDICT r2 next #1: the evaluator-level mask-AP path)."""
+    import json
+
+    from lvc_tpu.data.catalog import MetadataCatalog
+    from lvc_tpu.evaluation.coco_evaluation import COCOEvaluator
+
+    H, W = 32, 48
+    gt, rects = _gt_dataset(H, W)
+    gt_path = tmp_path / "segm_gt.json"
+    gt_path.write_text(json.dumps(gt.dataset))
+    name = "segm_synth_val"
+    MetadataCatalog.get(name).set(
+        json_file=str(gt_path),
+        thing_classes=["a", "b"],
+        thing_dataset_id_to_contiguous_id={1: 0, 2: 1},
+        evaluator_type="coco",
+    )
+
+    per_img = {1: [], 2: []}
+    for (img, cat), r in rects.items():
+        per_img[img].append((cat - 1, r))
+    dets = _batched_dets([per_img[1], per_img[2]], H, W)
+    metas = [
+        {"image_id": i, "image_size": (H, W), "orig_size": (H, W)}
+        for i in (1, 2)
+    ]
+
+    ev = COCOEvaluator(name, output_dir=str(tmp_path / "out"))
+    ev.reset()
+    ev.process_detections(dets, metas)
+    results = ev.evaluate()
+    assert "segm" in results and "bbox" in results
+    assert results["bbox"]["AP"] > 99
+    assert results["segm"]["AP"] > 99
+    # written rows carry dataset category ids
+    written = json.loads(
+        (tmp_path / "out" / "coco_instances_test_results.json").read_text()
+    )
+    assert {r["category_id"] for r in written} == {1, 2}
