@@ -60,9 +60,10 @@ class StandardROIHeads(nn.Module):
     pooler_resolution: int = 7
     pooler_sampling_ratio: int = 0
     # static cap on the adaptive sampling grid (reference uses unbounded
-    # ceil(bin_size); TPU shapes must be static). 2 covers the typical FPN
-    # band; raise for exact parity with very large / high-AR boxes
-    pooler_max_grid: int = 2
+    # ceil(bin_size); TPU shapes must be static). 4 is exact for every
+    # FPN-assigned box except near-image-sized ones; the pallas kernels
+    # clamp to 2 (VMEM scratch budget) — quantified in PARITY.md
+    pooler_max_grid: int = 4
     canonical_box_size: int = 224
     canonical_level: int = 4
     # head

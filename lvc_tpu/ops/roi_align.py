@@ -1090,7 +1090,26 @@ def batched_multilevel_roi_align_pallas_paired(
     n = B * R
     C = features[0].shape[-1]
     q = P * G
+    # scoped VMEM is ~16MB; the DMA scratch is depth*group*q*2*tile*C
+    # elements (+ the f32 accumulator and the (group, P, P, C) out block).
+    # group=8/depth=2 fits the box head (P=7) but blows the budget at the
+    # mask pooler's P=14 — shrink group (then depth) to stay under 12MB.
+    depth = 2 if jnp.dtype(dtype).itemsize <= 2 else 1
+    budget = 12 * 1024 * 1024
     group = 8
+    itemsize = jnp.dtype(dtype).itemsize
+
+    def scratch_bytes(g, d):
+        return (
+            d * g * q * 2 * tile * C * itemsize
+            + P * tile * C * 4
+            + g * P * P * C * itemsize
+        )
+
+    while group > 1 and scratch_bytes(group, depth) > budget:
+        group //= 2
+    if depth == 2 and scratch_bytes(group, depth) > budget:
+        depth = 1
 
     WxB = Wx.reshape(n, P, G, tile).sum(axis=2).astype(jnp.float32)
     wy_flat = wy.reshape(n, 2 * q)
@@ -1109,7 +1128,6 @@ def batched_multilevel_roi_align_pallas_paired(
     rows_ext = jnp.concatenate([row_starts, row_starts[-group:]], axis=0)
     xs_ext = jnp.concatenate([xs, xs[-group:]], axis=0)
 
-    depth = 2 if jnp.dtype(dtype).itemsize <= 2 else 1
     kernel = _pallas_roi_kernel_paired(P, G, tile, C, group, depth)
     W0 = flat2d.shape[1]
     out = pl.pallas_call(

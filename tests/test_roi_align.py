@@ -398,3 +398,33 @@ def test_pallas_trainable_vjp_unaligned_channels():
     finally:
         m.batched_multilevel_roi_align_pallas_paired = orig_paired
         m._roi_align_paired_bwd_impl = orig_bwd
+
+
+def test_pallas_paired_mask_resolution_shrinks_group():
+    """P=14 (the mask pooler) exceeds the 16MB scoped-VMEM budget at
+    group=8/depth=2 on a real chip (observed OOM: 21.66M request); the
+    kernel must shrink the DMA group to fit and still match the exact
+    gather at output_size=14."""
+    import jax.numpy as jnp
+    from lvc_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(13)
+    B, R, C = 1, 12, 256
+    feats = []
+    h, w = 32, 48
+    for _ in range(5):
+        feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    strides = (4, 8, 16, 32, 64)
+    s = rng.uniform(8, 150, (B, R))
+    ar = rng.uniform(0.5, 2.0, (B, R))
+    bw = s * np.sqrt(ar)
+    bh = s / np.sqrt(ar)
+    x0 = rng.uniform(0, 1, (B, R)) * (192 - bw)
+    y0 = rng.uniform(0, 1, (B, R)) * (128 - bh)
+    boxes = jnp.asarray(np.stack([x0, y0, x0 + bw, y0 + bh], -1), np.float32)
+    got = ra.batched_multilevel_roi_align_pallas_paired(
+        feats, boxes, strides, output_size=14, interpret=True
+    )
+    want = ra.batched_multilevel_roi_align(feats, boxes, strides, output_size=14)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
