@@ -11,6 +11,12 @@ of 128 boxes a fixpoint iteration resolves suppression chains (usually 2-4
 rounds instead of 128 sequential steps), then one vectorized (T, N) IoU pass
 suppresses all later boxes. This matches exact greedy NMS semantics
 (including the reference's strict ``iou > threshold`` comparison).
+
+A global-fixpoint variant (``_nms_mask_fixpoint``: build the full (N, N)
+suppression matrix once, Jacobi-iterate ``x_{k+1}[j] = valid[j] & not
+exists i<j: sup[i,j] & x_k[i]`` — provably exact since the prefix agreeing
+with greedy grows every round) measured SLOWER on TPU v5e at detection
+shapes (see ``nms_mask``), so it serves as a cross-check, not the default.
 """
 from __future__ import annotations
 
@@ -90,6 +96,44 @@ def _nms_mask_impl(
     return keep[:n]
 
 
+def _nms_mask_fixpoint(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float,
+    iou_fn,
+) -> jnp.ndarray:
+    """Global-fixpoint greedy NMS (exact; see module docstring).
+
+    One (N, N) IoU pass + a handful of (N, N) masked-reduce rounds replaces
+    the N/tile sequential dynamic-slice steps of the tiled version — much
+    friendlier to TPU (no sequential outer loop, no dynamic slices).
+    """
+    n = boxes.shape[0]
+    sort_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-sort_scores, stable=True)
+    b = boxes[order]
+    v = valid[order]
+
+    iou = iou_fn(b, b)
+    # sup[i, j]: row i (higher score, i < j) can suppress column j
+    tri = jnp.triu(jnp.ones((n, n), dtype=bool), k=1)
+    sup = (iou > iou_threshold) & tri
+
+    def cond(state):
+        prev, cur = state
+        return jnp.any(prev != cur)
+
+    def body(state):
+        _, cur = state
+        suppressed = jnp.any(sup & cur[:, None], axis=0)
+        return cur, v & ~suppressed
+
+    first = v & ~jnp.any(sup & v[:, None], axis=0)
+    _, keep_sorted = jax.lax.while_loop(cond, body, (v, first))
+    return jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "tile"))
 def nms_mask(
     boxes: jnp.ndarray,
@@ -109,6 +153,11 @@ def nms_mask(
     Returns:
         (N,) bool keep mask in the ORIGINAL input order.
     """
+    # Measured on TPU v5e (B=16 N=2048 / B=80 N=1024): the tiled sequential
+    # version beats the global fixpoint (2.8 vs 3.7 ms / 4.0 vs 5.8 ms) —
+    # the (N, N) suppression matrix's HBM traffic per fixpoint round costs
+    # more than the tile loop's latency. Tiled stays the default;
+    # _nms_mask_fixpoint is kept as the exactness cross-check.
     return _nms_mask_impl(
         boxes, scores, valid, iou_threshold, tile, box_ops.pairwise_iou
     )
@@ -186,6 +235,9 @@ def masked_topk(
     bool mask of which of the k slots are real. Fixed output size k."""
     neg = jnp.where(valid, scores, NEG_INF)
     k = min(k, scores.shape[0])
-    order = jnp.argsort(-neg, stable=True)[:k]
+    # lax.top_k breaks ties toward the lower index — same order as
+    # jnp.argsort(-neg, stable=True)[:k] but O(N log k) instead of a full
+    # sort (the ROI stage calls this on R*K = 80k candidate scores).
+    _, order = jax.lax.top_k(neg, k)
     topk_valid = valid[order]
     return order, topk_valid

@@ -107,3 +107,45 @@ def test_masked_topk():
     idx2, valid2 = masked_topk(s, jnp.asarray([True, False, False, False]), 3)
     assert np.asarray(idx2)[0] == 0
     assert np.asarray(valid2).tolist() == [True, False, False]
+
+
+def test_fixpoint_matches_tiled_on_clustered_boxes():
+    """The global-fixpoint path (N <= 4096) must agree with the tiled
+    sequential implementation on dense clusters with long suppression
+    chains — both are exact greedy NMS."""
+    from lvc_tpu.ops.nms import _nms_mask_fixpoint, _nms_mask_impl
+    from lvc_tpu.structures import boxes as box_ops
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n = 600
+        # chain-heavy geometry: boxes slide along a line so each overlaps
+        # its neighbours (suppression chains), plus random clutter
+        base = np.stack(
+            [
+                np.linspace(0, 300, n // 2),
+                np.zeros(n // 2),
+                np.linspace(0, 300, n // 2) + 20,
+                np.full(n // 2, 20.0),
+            ],
+            axis=1,
+        )
+        clutter = rng.uniform(0, 200, (n // 2, 2))
+        clutter = np.concatenate([clutter, clutter + rng.uniform(5, 40, (n // 2, 2))], 1)
+        boxes = np.concatenate([base, clutter]).astype(np.float32)
+        scores = rng.rand(n).astype(np.float32)
+        # duplicate scores to exercise stable tie-breaking
+        scores[rng.choice(n, 50, replace=False)] = 0.5
+        valid = rng.rand(n) > 0.1
+        for thr in (0.3, 0.5, 0.7):
+            fx = np.asarray(
+                _nms_mask_fixpoint(
+                    jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), thr, box_ops.pairwise_iou
+                )
+            )
+            td = np.asarray(
+                _nms_mask_impl(
+                    jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), thr, 128, box_ops.pairwise_iou
+                )
+            )
+            assert (fx == td).all(), (trial, thr, np.nonzero(fx != td))
