@@ -247,6 +247,14 @@ class StandardROIHeads(nn.Module):
 
             impl = batched_multilevel_roi_align_pallas_paired
         elif impl_name == "pallas_fast":
+            # stage-free patch kernel (per-level refs, one DMA per box);
+            # bit-identical to the band kernel, skips the flat2d staging
+            from lvc_tpu.ops.roi_align import (
+                batched_multilevel_roi_align_pallas_patch_ml,
+            )
+
+            impl = batched_multilevel_roi_align_pallas_patch_ml
+        elif impl_name == "pallas_band":
             from lvc_tpu.ops.roi_align import (
                 batched_multilevel_roi_align_pallas_fast,
             )

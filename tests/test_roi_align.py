@@ -428,3 +428,44 @@ def test_pallas_paired_mask_resolution_shrinks_group():
     )
     want = ra.batched_multilevel_roi_align(feats, boxes, strides, output_size=14)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pallas_patch_ml_bit_identical_to_band():
+    """Stage-free patch kernel (per-level refs, one DMA per box): output
+    must be BIT-identical to the band kernel — same weights, same
+    accumulation order; only the data movement differs. Includes canvas-
+    sized, corner-hugging and degenerate boxes to exercise the window
+    clamps and the per-level row addressing."""
+    import jax.numpy as jnp
+    from lvc_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(7)
+    B, R, C = 2, 21, 256
+    feats = []
+    h, w = 32, 48
+    for _ in range(4):
+        feats.append(jnp.asarray(rng.rand(B, h, w, C).astype(np.float32)))
+        h, w = (h + 1) // 2, (w + 1) // 2
+    strides = (4, 8, 16, 32)
+    s = rng.uniform(8, 150, (B, R))
+    ar = rng.uniform(0.5, 2.0, (B, R))
+    bw, bh = s * np.sqrt(ar), s / np.sqrt(ar)
+    x0 = rng.uniform(0, 1, (B, R)) * (192 - bw)
+    y0 = rng.uniform(0, 1, (B, R)) * (128 - bh)
+    boxes = jnp.asarray(np.stack([x0, y0, x0 + bw, y0 + bh], -1), np.float32)
+    boxes = boxes.at[0, 0].set(jnp.array([0.0, 0.0, 191.9, 127.9]))
+    boxes = boxes.at[0, 1].set(jnp.array([188.0, 124.0, 192.0, 128.0]))
+    boxes = boxes.at[0, 2].set(jnp.array([5.0, 5.0, 5.0, 5.0]))
+    boxes = boxes.at[1, 0].set(jnp.array([0.0, 124.0, 4.0, 128.0]))
+    boxes = boxes.at[1, 1].set(jnp.array([185.0, 0.0, 192.0, 6.0]))
+    band = ra.batched_multilevel_roi_align_pallas_fast(
+        feats, boxes, strides, interpret=True
+    )
+    ml = ra.batched_multilevel_roi_align_pallas_patch_ml(
+        feats, boxes, strides, interpret=True
+    )
+    patch = ra.batched_multilevel_roi_align_pallas_patch(
+        feats, boxes, strides, interpret=True
+    )
+    assert np.abs(np.asarray(band) - np.asarray(ml)).max() == 0.0
+    assert np.abs(np.asarray(band) - np.asarray(patch)).max() == 0.0
