@@ -46,7 +46,18 @@ class DetectionCheckpointer:
             return self._load_torch_into(path, state)
         with open(path, "rb") as f:
             data = f.read()
-        return serialization.from_bytes(state, data)
+        restored = serialization.msgpack_restore(data)
+        # variables-only checkpoints (tools/convert_reference_ckpt.py output:
+        # {"params": ..., "batch_stats": ...} with no optimizer/step) overlay
+        # onto the state like a converted torch file does
+        if (
+            isinstance(restored, dict)
+            and "params" in restored
+            and "opt_state" not in restored
+            and hasattr(state, "params")
+        ):
+            return self.apply_variables(state, restored)
+        return serialization.from_state_dict(state, restored)
 
     def _load_torch_into(self, path: str, state):
         sd = load_torch_checkpoint(path)

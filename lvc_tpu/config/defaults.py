@@ -276,10 +276,13 @@ _C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
 _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
 # ours-only: static cap on the adaptive RoIAlign sampling grid (the
 # reference's ceil(bin) rule is unbounded; TPU shapes must be static).
-# 4 makes the exact-gather path reference-exact for every FPN-assigned box
-# except near-image-sized ones; the Pallas serving kernels clamp to 2
-# (VMEM scratch budget) regardless — quantified in PARITY.md.
-_C.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 4
+# Default 2: the Pallas serving kernels clamp to 2 regardless (VMEM
+# scratch budget), so a larger default only slows the exact/tiled
+# XLA-gather path (CPU tests, multichip dryrun) ~4x for zero TPU benefit.
+# Set 4 to make the exact-gather path reference-exact for every
+# FPN-assigned box except near-image-sized ones (the parity tests do).
+# Grid-2 deviation quantified in PARITY.md: score |delta| max 4.4e-4.
+_C.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 2
 
 # Mask head (d2 defaults.py MODEL.ROI_MASK_HEAD; wired via MODEL.MASK_ON)
 _C.MODEL.ROI_MASK_HEAD = CN()

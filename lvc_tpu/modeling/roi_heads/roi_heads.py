@@ -60,10 +60,14 @@ class StandardROIHeads(nn.Module):
     pooler_resolution: int = 7
     pooler_sampling_ratio: int = 0
     # static cap on the adaptive sampling grid (reference uses unbounded
-    # ceil(bin_size); TPU shapes must be static). 4 is exact for every
-    # FPN-assigned box except near-image-sized ones; the pallas kernels
-    # clamp to 2 (VMEM scratch budget) — quantified in PARITY.md
-    pooler_max_grid: int = 4
+    # ceil(bin_size); TPU shapes must be static). Default 2: the pallas
+    # kernels clamp to 2 anyway (VMEM scratch budget), so a larger default
+    # only slows the exact/tiled XLA-gather path (CPU tests, dryrun) 4x
+    # for zero TPU benefit. Grid 4 is exact for every FPN-assigned box
+    # except near-image-sized ones; parity tests that need it opt in via
+    # POOLER_MAX_GRID=4 explicitly. Deviation quantified in PARITY.md
+    # (max score delta 4.4e-4 at grid 2).
+    pooler_max_grid: int = 2
     canonical_box_size: int = 224
     canonical_level: int = 4
     # head

@@ -413,3 +413,71 @@ def test_forward_parity_r101_converted_checkpoint():
         if np.any(same_cls & close_score & close_box):
             matched += 1
     assert matched >= n - 2, (matched, n)
+
+
+def test_convert_reference_ckpt_cli(setup, tmp_path):
+    """One-command conversion path: reference state_dict -> .pth ->
+    tools/convert_reference_ckpt.py (with --config-file validation) ->
+    native .ckpt -> DetectionCheckpointer overlay, bitwise-equal to the
+    in-process conversion (VERDICT r3 next #8)."""
+    import os
+    import subprocess
+    import sys
+
+    import torch
+    from flax.traverse_util import flatten_dict
+
+    m, ref_model, our_model, variables = setup
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    sd = ref_model.state_dict()
+    pth = str(tmp_path / "model_final.pth")
+    torch.save({"model": sd}, pth)
+    dst = str(tmp_path / "model_final.ckpt")
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/convert_reference_ckpt.py"),
+         "--src", pth, "--dst", dst,
+         "--config-file", os.path.join(repo, "configs/Base-RCNN-FPN.yaml"),
+         "MODEL.ROI_HEADS.NUM_CLASSES", "80"],
+        env=env, cwd=repo, capture_output=True, text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "validation OK" in proc.stdout, proc.stdout
+    assert os.path.exists(dst)
+
+    # the native artifact loads through the checkpointer onto a TrainState
+    from lvc_tpu.checkpoint.checkpointer import DetectionCheckpointer
+    from lvc_tpu.engine.train_loop import TrainState
+    from lvc_tpu.solver.build import build_optimizer
+    from lvc_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file(os.path.join(repo, "configs/Base-RCNN-FPN.yaml"))
+    cfg.MODEL.ROI_HEADS.NUM_CLASSES = 80
+    tx = build_optimizer(cfg, variables["params"])
+    state = TrainState.create(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]}, tx
+    )
+    loaded = DetectionCheckpointer(state).load(dst, state)
+    a = flatten_dict(variables["params"])
+    b = flatten_dict(loaded.params)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=str(k))
+    sa = flatten_dict(variables["batch_stats"])
+    sb = flatten_dict(loaded.batch_stats)
+    for k in sa:
+        np.testing.assert_array_equal(np.asarray(sa[k]), np.asarray(sb[k]), err_msg=str(k))
+
+    # validation catches a class-count mismatch instead of writing silently
+    proc_bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools/convert_reference_ckpt.py"),
+         "--src", pth, "--dst", str(tmp_path / "bad.ckpt"),
+         "--config-file", os.path.join(repo, "configs/Base-RCNN-FPN.yaml"),
+         "MODEL.ROI_HEADS.NUM_CLASSES", "20"],
+        env=env, cwd=repo, capture_output=True, text=True,
+    )
+    assert proc_bad.returncode == 1, proc_bad.stdout + proc_bad.stderr
+    assert "SHAPE MISMATCH" in proc_bad.stdout, proc_bad.stdout
