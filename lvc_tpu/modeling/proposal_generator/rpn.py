@@ -125,7 +125,11 @@ class RPN(nn.Module):
         # Deltas stay in the conv dtype as (B, H*W, A*4) — a pure bitcast of
         # the conv output — and are cast to f32 AFTER the per-level top-k
         # gather: casting/relayouting the full (B, HWA, 4) delta tensor cost
-        # ~3.5 ms/step on p2 alone at 832x1344.
+        # ~3.5 ms/step on p2 alone at 832x1344. Logits ARE cast to f32
+        # before top-k: keeping them bf16 through the sort was tried
+        # (round 4; selection is identical since bf16->f32 is monotonic)
+        # and measured ~2 ms SLOWER end-to-end — XLA's TPU sort on bf16
+        # keys costs more than the f32 convert+relayout it saves.
         logits_flat = [l.reshape(B, -1).astype(jnp.float32) for l in logits_lvl]
         deltas_flat = [d.reshape(B, d.shape[1] * d.shape[2], -1) for d in deltas_lvl]
 
@@ -198,7 +202,9 @@ class RPN(nn.Module):
             keys, gt_boxes, gt_valid, gt_ignores
         )
 
-        s_logits = jnp.take_along_axis(logits, idxs, axis=1)  # (B, S)
+        s_logits = jnp.take_along_axis(logits, idxs, axis=1).astype(
+            jnp.float32
+        )  # (B, S)
         s_deltas = jnp.take_along_axis(deltas, idxs[..., None], axis=1).astype(
             jnp.float32
         )  # (B, S, 4)
@@ -241,6 +247,7 @@ class RPN(nn.Module):
                     scores_k, order = jax.lax.approx_max_k(logit, k)
                 else:
                     scores_k, order = jax.lax.top_k(logit, k)
+                scores_k = scores_k.astype(jnp.float32)  # no-op on f32
                 # delta is (H*W, A*4) in conv dtype; gather the top-k rows
                 # then select each row's anchor slot — only k*4 values ever
                 # get cast to f32

@@ -1169,6 +1169,7 @@ def _tiled_prep_band(
     min_level, canonical_box_size, canonical_level, tile,
     row_pad=4,
     per_level=False,
+    no_pad=False,
 ):
     """Band variant of :func:`_tiled_prep_2d` for the serving "fast" kernel.
 
@@ -1195,7 +1196,28 @@ def _tiled_prep_band(
     level_shapes = [f.shape[1:3] for f in features]
     W0 = max(w for _, w in level_shapes)
     sum_h = sum(h for h, _ in level_shapes)
-    if per_level:
+    level_padded = [True] * len(features)
+    if per_level and no_pad:
+        # zero-copy: each level is handed to the kernel as its own ref via
+        # a pure reshape (contiguous merge, no data movement). The patch
+        # DMA window is CLAMPED into the unpadded extent instead of
+        # relying on pad rows/cols: the clamp shifts the window start and
+        # the one-hot sample weights shift with it (bit-identical output —
+        # reads past the needed rows land on zero-weight in-bounds rows,
+        # and the kernel clamps band reads to the window's last row).
+        # Levels too small to host a full window keep the padded form.
+        flat2d = []
+        for i, f in enumerate(features):
+            Hl, Wl = f.shape[1], f.shape[2]
+            if Wl < tile or B * Hl < row_pad:
+                flat2d.append(
+                    jnp.pad(f, ((0, 0), (0, row_pad), (0, tile), (0, 0)))
+                    .reshape(B * (Hl + row_pad), Wl + tile, C)
+                )
+            else:
+                flat2d.append(f.reshape(B * Hl, Wl, C))
+                level_padded[i] = False
+    elif per_level:
         # no flat2d: each level is padded by (row_pad, tile) per image and
         # handed to the kernel as its own ref. Padding BEFORE the 4D
         # retile lets XLA fuse the pad into the relayout read — one pass
@@ -1248,8 +1270,13 @@ def _tiled_prep_band(
     w_l = widths[levels]
     if per_level:
         # level-local rows: image b's rows live at [b*(H_l+row_pad), ...)
+        # (or [b*H_l, ...) for no_pad levels)
         heights_padded = jnp.array(
-            [h + row_pad for h, _ in level_shapes], jnp.int32
+            [
+                h + row_pad if level_padded[i] else h
+                for i, (h, _) in enumerate(level_shapes)
+            ],
+            jnp.int32,
         )
         row_off = img_idx * heights_padded[levels]
     else:
@@ -1299,7 +1326,17 @@ def _tiled_prep_band(
     y_low, ly, y_inside = corners(ys, h_l)
 
     x_start = x_low[:, 0, 0]
-    t_low = jnp.clip(x_low - x_start[:, None, None], 0, tile - 2)
+    if no_pad:
+        # clamp the window into the (possibly unpadded) level extent; the
+        # one-hot weights shift with the clamped start — bit-identical
+        # output. Slot `tile` is dropped by the one-hot compare below
+        # (capped samples carry zero wx1), so t_low may reach tile-1.
+        w_eff = jnp.array([f.shape[1] for f in flat2d], jnp.int32)
+        x_start = jnp.clip(x_start, 0, w_eff[levels] - tile)
+        t_cap = tile - 1
+    else:
+        t_cap = tile - 2
+    t_low = jnp.clip(x_low - x_start[:, None, None], 0, t_cap)
     wx0 = jnp.where(x_inside & x_valid, (1.0 - lx), 0.0)
     wx1 = jnp.where(x_inside & x_valid, lx, 0.0)
     t_iota = jnp.arange(tile, dtype=jnp.int32)
@@ -1721,8 +1758,13 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
     box the L-way ``pl.when`` costs ~L scalar compares per box instead of
     the band kernel's per-band fan-out. This removes the flat2d staging
     entirely (measured 14.2 ms/batch of concat/pad/retile at bs16 R-101) —
-    each level arrives as its own (B*(H_l+PR), W_l+tile, C/128, 128) ref,
-    a single fused pad+relayout pass per level.
+    each level arrives as its own (rows, W_l, C/128, 128) ref. The 4D
+    split is a Mosaic requirement, not a choice: the two dynamically
+    sliced dims (rows, x) must be untiled, so the lane/sublane tiles must
+    live on trailing static dims (a 3D (rows, W, C) ref fails memref_slice
+    on the tiled W dim). XLA pays a T(2,128) retile pass per level for
+    this on top of the layout copy — measured 2.2 + 1.7 ms for p2 at bs16
+    R-101; a fused single-pass relayout is the remaining known headroom.
     """
     import jax
     from jax.experimental import pallas as pl
@@ -1779,24 +1821,27 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
                 off = rel_ref[b, py]
                 acc = None
                 for rb in range(4):
-                    term = patches[slot, b, off + rb].astype(jnp.float32) * wy_ref[
-                        b, py * 4 + rb
-                    ]
+                    # bottom-edge boxes at clamped windows can point band
+                    # slots past PR-1; those slots carry zero weight
+                    # (capped y_low has frac 0) — clamp the read in-bounds
+                    term = patches[
+                        slot, b, jnp.minimum(off + rb, PR - 1)
+                    ].astype(jnp.float32) * wy_ref[b, py * 4 + rb]
                     acc = term if acc is None else acc + term
                 rows_sum[py] = acc
             inv = 1.0 / cnt_ref[b, 0]
             for py in range(P):
-                for c in range(c2):
-                    v = jax.lax.dot_general(
-                        wx_ref[b],
-                        rows_sum[py, :, c],
-                        (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )
-                    out_ref[b, py, :, c * 128 : (c + 1) * 128] = (v * inv).astype(
-                        out_ref.dtype
-                    )
+                # full-C contraction in one dot per (box, output row);
+                # identical sums to the per-128-lane form (the contraction
+                # dim is unchanged), half the dot/write op count
+                v = jax.lax.dot_general(
+                    wx_ref[b],
+                    rows_sum[py].reshape(tile, C),
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                out_ref[b, py] = (v * inv).astype(out_ref.dtype)
 
     return kernel
 
@@ -1846,7 +1891,7 @@ def batched_multilevel_roi_align_pallas_patch_ml(
         _tiled_prep_band(
             features, boxes, strides, output_size, sampling_ratio, max_grid,
             min_level, canonical_box_size, canonical_level, tile,
-            row_pad=PR, per_level=True,
+            row_pad=PR, per_level=True, no_pad=True,
         )
     )
     n = B * R
@@ -1857,7 +1902,12 @@ def batched_multilevel_roi_align_pallas_patch_ml(
     wy_flat = Wy4.reshape(n, P * 4)
     cnt = count.reshape(n, 1).astype(jnp.float32)
     xs = x_start.reshape(n, 1)
-    patch0 = band_starts[:, :1]
+    # clamp the row window into each level's extent (no_pad refs carry no
+    # bottom pad); rel then reaches up to PR-1 for bottom-edge boxes and
+    # the kernel clamps band reads to the window's last row (those reads
+    # carry zero weight — corners() caps y_low with frac 0)
+    rows_total = jnp.array([f.shape[0] for f in flats], jnp.int32)[levels]
+    patch0 = jnp.clip(band_starts[:, :1], 0, (rows_total - PR)[:, None])
     rel = (band_starts - patch0).astype(jnp.int32)
     lvl = levels.reshape(n, 1).astype(jnp.int32)
 
@@ -1894,6 +1944,8 @@ def batched_multilevel_roi_align_pallas_patch_ml(
     lvl_ext = jnp.concatenate([lvl, lvl[-group:]], axis=0)
 
     kernel = _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, PR, L)
+    # 4D refs: Mosaic requires the dynamically sliced dims untiled (see
+    # kernel docstring) — XLA materializes a T(2,128) retile per level
     flat_args = [f.reshape(f.shape[0], f.shape[1], C // 128, 128) for f in flats]
     smem1 = lambda: pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     smem1n = lambda: pl.BlockSpec(
