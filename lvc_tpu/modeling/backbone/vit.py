@@ -30,13 +30,67 @@ class Mlp(nn.Module):
         return x
 
 
+def _flash_mha(qkv, scale):
+    """Fused attention via the Pallas TPU flash kernel, N padded to a
+    multiple of 128 with SegmentIds masking (pad tokens get segment 1 and
+    can only attend each other; their output is sliced off).
+
+    Why: at N=785 the einsum form materializes the (B, H, N, N) attention
+    tensor several times — ~2.4 ms/block of HBM traffic at batch 64 that
+    ALSO blows the activation footprint (947 MB f32/block: observed to
+    spill host-side and cost seconds/batch, docs/PERF.md round 4); the
+    flash kernel keeps the softmax online in VMEM. The whole qkv tensor
+    is relaid in ONE transpose+pad pass (separate per-tensor transposes
+    measured ~1.3 ms/block in slices+copies). qkv: (B, N, 3, H, d) ->
+    (B, N, H*d)."""
+    import jax
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, _, H, d = qkv.shape
+    Np = ((N + 127) // 128) * 128
+    pad = Np - N
+    qkvt = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, d)
+    if pad:
+        qkvt = jnp.pad(qkvt, ((0, 0),) * 3 + ((0, pad), (0, 0)))
+    qp, kp, vp = qkvt[0], qkvt[1], qkvt[2]
+    seg = None
+    if pad:
+        ids = (jnp.arange(Np) >= N).astype(jnp.int32)[None].repeat(B, axis=0)
+        seg = SegmentIds(q=ids, kv=ids)
+    # full-sequence blocks: at N~896, d=64 the kernel is overhead-bound
+    # with small blocks (round-4 sweep: 128-blocks 4.9 ms/call, 896-blocks
+    # 3.96 ms/call, and block sizes must be multiples of 128); one program
+    # per (batch, head) keeps the whole row in VMEM (896*64 tiles are tiny)
+    block = Np
+    sizes = BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1
+    )
+    out = flash_attention(
+        qp, kp, vp, segment_ids=seg, sm_scale=scale, block_sizes=sizes
+    )
+    if pad:
+        out = out[:, :, :N]
+    return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, H * d)
+
+
 class Attention(nn.Module):
     dim: int
     num_heads: int
     qkv_bias: bool = True
+    # "auto": flash kernel on TPU, einsum elsewhere. The einsum form is
+    # the reference semantics (f32 softmax); flash computes the same
+    # softmax online in f32 accumulators — descriptor deviation quantified
+    # by scripts/check_vit_flash.py.
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
+        import jax
+
         from lvc_tpu.modeling.layers import get_compute_dtype
 
         dt = get_compute_dtype()
@@ -47,11 +101,17 @@ class Attention(nn.Module):
         # (B, N, 3, H, d) split without materialized transposes; einsum lets
         # XLA pick layouts for the attention contractions
         qkv = qkv.reshape(B, N, 3, H, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
-        # softmax in f32 for numerical stability under bf16 compute
-        attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        impl = self.attn_impl
+        if impl == "auto":
+            impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+        if impl == "flash":
+            out = _flash_mha(qkv, head_dim ** -0.5)
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, d)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (head_dim ** -0.5)
+            # softmax in f32 for numerical stability under bf16 compute
+            attn = nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         return nn.Dense(C, dtype=dt, name="proj")(out)
 
 
@@ -59,10 +119,13 @@ class Block(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x):
-        x = x + Attention(self.dim, self.num_heads, name="attn")(
+        x = x + Attention(
+            self.dim, self.num_heads, attn_impl=self.attn_impl, name="attn"
+        )(
             nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         )
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
@@ -78,6 +141,7 @@ class VisionTransformer(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 4.0
     img_size: int = 224
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,17 +174,24 @@ class VisionTransformer(nn.Module):
         x = x + jnp.concatenate([pos_cls, pos_patch], axis=1)
 
         for i in range(self.depth):
-            x = Block(self.embed_dim, self.num_heads, self.mlp_ratio, name=f"blocks.{i}")(x)
+            x = Block(
+                self.embed_dim, self.num_heads, self.mlp_ratio,
+                attn_impl=self.attn_impl, name=f"blocks.{i}",
+            )(x)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         return x[:, 0]
 
 
-def dino_vits8() -> VisionTransformer:
-    return VisionTransformer(patch_size=8, embed_dim=384, depth=12, num_heads=6)
+def dino_vits8(attn_impl: str = "auto") -> VisionTransformer:
+    return VisionTransformer(
+        patch_size=8, embed_dim=384, depth=12, num_heads=6, attn_impl=attn_impl
+    )
 
 
-def dino_vits16() -> VisionTransformer:
-    return VisionTransformer(patch_size=16, embed_dim=384, depth=12, num_heads=6)
+def dino_vits16(attn_impl: str = "auto") -> VisionTransformer:
+    return VisionTransformer(
+        patch_size=16, embed_dim=384, depth=12, num_heads=6, attn_impl=attn_impl
+    )
 
 
 def convert_dino_torch_params(state_dict) -> Dict:

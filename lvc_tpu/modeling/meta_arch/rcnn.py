@@ -35,7 +35,21 @@ def model_images(module: nn.Module, batch: Dict[str, jnp.ndarray]) -> jnp.ndarra
     images = batch["image"]
     mean = jnp.asarray(module.pixel_mean, images.dtype)
     std = jnp.asarray(module.pixel_std, images.dtype)
-    return (images - mean) / std
+    x = (images - mean) / std
+    # reference ImageList semantics (detectron2 structures/image_list.py:8):
+    # padding is applied AFTER per-image normalization, so pad pixels are 0
+    # in normalized space. The loader's s2d path already zeroes the pad
+    # region host-side (space_to_depth_host); mask here so the device-side
+    # fallback matches — otherwise pads normalize to -mean/std and the
+    # backbone sees different boundary context than the reference.
+    if "image_size" in batch:
+        H, W = images.shape[1:3]
+        hs = batch["image_size"][:, 0][:, None, None, None]
+        ws = batch["image_size"][:, 1][:, None, None, None]
+        row = jnp.arange(H)[None, :, None, None]
+        col = jnp.arange(W)[None, None, :, None]
+        x = jnp.where((row < hs) & (col < ws), x, jnp.zeros((), x.dtype))
+    return x
 
 
 class GeneralizedRCNN(nn.Module):
@@ -65,7 +79,7 @@ class GeneralizedRCNN(nn.Module):
 
     def backbone_features(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         """Preprocess + backbone only (feature probing / parity tests)."""
-        return self.backbone(self.preprocess(batch["image"]), train=False)
+        return self.backbone(model_images(self, batch), train=False)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], *, train: bool = False):
         features = self.backbone(model_images(self, batch), train=train)
