@@ -1833,7 +1833,11 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
             for py in range(P):
                 # full-C contraction in one dot per (box, output row);
                 # identical sums to the per-128-lane form (the contraction
-                # dim is unchanged), half the dot/write op count
+                # dim is unchanged), half the dot/write op count. A
+                # one-dot-per-BOX x-major variant was tried (round 4) and
+                # measured NEUTRAL on chip while breaking bit-identity
+                # with the band kernel (different dot blocking rounds
+                # 1 ulp apart) — the kernel is DMA-bound, not dot-bound.
                 v = jax.lax.dot_general(
                     wx_ref[b],
                     rows_sum[py].reshape(tile, C),

@@ -47,6 +47,10 @@ def main():
         cfg.MODEL.DTYPE = "bfloat16"
         cfg.MODEL.ROI_HEADS.POOLER_IMPL = "pallas_fast"
         cfg.MODEL.RPN.APPROX_TOPK = approx
+        # random-init softmax scores (~1/81) never clear the default 0.05
+        # threshold, which would make the deviation check vacuous (0
+        # detections on both sides); keep topk-by-score with no floor
+        cfg.MODEL.ROI_HEADS.SCORE_THRESH_TEST = 0.0
         model = build_model(cfg)
         batch = g._make_batch(B=args.batch, H=args.height, W=args.width)
         variables = g.fast_init(
