@@ -48,6 +48,7 @@ def main():
     cfg.MODEL.RESNETS.DEPTH = args.depth
     cfg.MODEL.DTYPE = "bfloat16"
     cfg.MODEL.ROI_HEADS.POOLER_IMPL = "pallas_fast"
+    cfg.MODEL.RPN.APPROX_TOPK = True  # keep in sync with bench.py
     model = build_model(cfg)
     batch = g._make_batch(B=args.batch, H=832, W=1344)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)
