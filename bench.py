@@ -68,6 +68,11 @@ def main():
     batch = g._make_batch(B=BATCH, H=HEIGHT, W=WIDTH)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)
 
+    # weights are closure CONSTANTS (host-numpy leaves from fast_init, so
+    # lowering embeds them instantly — device-resident constants cost ~11
+    # min of per-leaf tunnel fetches, and passing them as jit ARGUMENTS
+    # was measured 5 ms/batch slower: XLA then re-lays-out the weights at
+    # runtime instead of folding them at compile time)
     def _infer(batch):
         return model.apply(variables, batch, train=False)
 
@@ -82,10 +87,11 @@ def main():
 
         os.environ["LVC_TPU_FUSED_RESIDUAL"] = "0"
         compiled = jax.jit(lambda b: _infer(b)).lower(batch).compile()
+    compiled_v = compiled  # cost_analysis handle
     # XLA cost analysis -> model FLOPs/batch for the MFU report
     # (VERDICT r1 next #8); v5e peak is 197 TFLOP/s bf16.
     try:
-        cost = compiled.cost_analysis()
+        cost = compiled_v.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_batch = float(cost.get("flops", 0.0))
@@ -93,15 +99,23 @@ def main():
         flops_per_batch = 0.0
     infer = compiled
 
+    import jax.numpy as jnp
+
+    def fence(o):
+        # device-side scalar readback: block_until_ready intermittently
+        # returns without waiting through the axon tunnel (docs/PERF.md
+        # "Measurement note") — a scalar pull is a real sync
+        return float(jnp.asarray(o.scores, jnp.float32).sum())
+
     out = infer(batch)
-    jax.block_until_ready(out)
+    fence(out)
     for _ in range(WARMUP - 1):
-        jax.block_until_ready(infer(batch))
+        fence(infer(batch))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = infer(batch)
-    jax.block_until_ready(out)
+    fence(out)
     dt = time.perf_counter() - t0
 
     n_chips = max(len(jax.devices()), 1)

@@ -51,6 +51,11 @@ def materialize_variables(shapes: Any, seed: int = 0, conv_init: str = "he") -> 
             arr = rng.normal(0, np.sqrt(1.0 / fan_in), size=shape)
         else:
             arr = np.zeros(shape)
-        return jnp.asarray(arr, dtype=leaf.dtype)
+        # HOST arrays, not device: the leaves are born in numpy anyway, and
+        # a jitted closure capturing device-resident weights makes lowering
+        # fetch every constant back one by one — ~11 min through the axon
+        # tunnel for the R-101 serving graph (round 4). numpy leaves embed
+        # instantly and let XLA fold weight layouts at compile time.
+        return np.asarray(arr, dtype=leaf.dtype)
 
     return jax.tree_util.tree_map_with_path(fill, shapes)

@@ -147,7 +147,9 @@ def main():
     model = build_model(cfg)
     batch = g._make_batch(B=args.batch, H=832, W=1344)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)
-    compiled = jax.jit(lambda b: model.apply(variables, b, train=False)).lower(batch).compile()
+    compiled = jax.jit(
+        lambda b: model.apply(variables, b, train=False)
+    ).lower(batch).compile()
     hlo = compiled.as_text()
     info = parse_hlo_fusions(hlo)
     print(f"parsed {len(info)} named HLO instructions")

@@ -53,7 +53,11 @@ def main():
     batch = g._make_batch(B=args.batch, H=832, W=1344)
     variables = g.fast_init(model, {"params": jax.random.PRNGKey(0)}, batch, train=False)
 
-    compiled = jax.jit(lambda b: model.apply(variables, b, train=False)).lower(batch).compile()
+    # closure constants are host-numpy (fast_init) — embeds instantly,
+    # folds weight layouts at compile time (docs/PERF.md round 4)
+    compiled = jax.jit(
+        lambda b: model.apply(variables, b, train=False)
+    ).lower(batch).compile()
     out = compiled(batch)
     jax.block_until_ready(out)
     for _ in range(2):
