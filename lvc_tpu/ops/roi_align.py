@@ -1917,6 +1917,10 @@ def batched_multilevel_roi_align_pallas_patch_ml(
 
     itemsize = jnp.dtype(dtype).itemsize
     depth = 2 if itemsize <= 2 else 1
+    # the 12 MB budget is NOT conservative: XLA's scoped-vmem limit for a
+    # kernel is 16 MB (group 16 / 24 MB was tried round 4 and fails AOT
+    # with "Scoped allocation 16.22M, limit 16.00M"; the raise flag is
+    # rejected by this client). group 8 / depth 2 is the ceiling here.
     group = 8
     budget = 12 * 1024 * 1024
 
