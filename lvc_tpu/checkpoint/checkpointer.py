@@ -47,16 +47,23 @@ class DetectionCheckpointer:
         with open(path, "rb") as f:
             data = f.read()
         restored = serialization.msgpack_restore(data)
-        # variables-only checkpoints (tools/convert_reference_ckpt.py output:
-        # {"params": ..., "batch_stats": ...} with no optimizer/step) overlay
-        # onto the state like a converted torch file does
-        if (
-            isinstance(restored, dict)
-            and "params" in restored
-            and "opt_state" not in restored
-            and hasattr(state, "params")
-        ):
-            return self.apply_variables(state, restored)
+        # variables-only checkpoints (tools/convert_reference_ckpt.py output)
+        # overlay onto the state like a converted torch file does. Primary
+        # signal: the explicit "__format__" marker the converter writes
+        # since round 5 (ADVICE r4); the opt_state-absence inference is kept
+        # for older converted files.
+        if isinstance(restored, dict):
+            fmt = restored.pop("__format__", None)
+            is_variables = (
+                fmt is not None
+                and bytes(np.asarray(fmt)) == b"variables"
+            ) or (
+                fmt is None
+                and "params" in restored
+                and "opt_state" not in restored
+            )
+            if is_variables and hasattr(state, "params"):
+                return self.apply_variables(state, restored)
         return serialization.from_state_dict(state, restored)
 
     def _load_torch_into(self, path: str, state):

@@ -281,7 +281,12 @@ _C.MODEL.ROI_BOX_HEAD.POOLER_TYPE = "ROIAlignV2"
 # XLA-gather path (CPU tests, multichip dryrun) ~4x for zero TPU benefit.
 # Set 4 to make the exact-gather path reference-exact for every
 # FPN-assigned box except near-image-sized ones (the parity tests do).
-# Grid-2 deviation quantified in PARITY.md: score |delta| max 4.4e-4.
+# Grid-2 deviation quantified in PARITY.md: serving score |delta| max
+# 4.4e-4; TRAINING gradients through the pooler carry the same grid-2
+# cap on TPU regardless of this key (the Pallas kernels size VMEM for
+# grid<=2), so grid 4 only changes the CPU exact-gather path — the
+# train-path grad deviation grid-2-vs-4 is quantified in PARITY.md
+# ("Pooler grid and training gradients").
 _C.MODEL.ROI_BOX_HEAD.POOLER_MAX_GRID = 2
 
 # Mask head (d2 defaults.py MODEL.ROI_MASK_HEAD; wired via MODEL.MASK_ON)

@@ -104,6 +104,12 @@ class Attention(nn.Module):
         impl = self.attn_impl
         if impl == "auto":
             impl = "flash" if jax.default_backend() == "tpu" else "einsum"
+        # _flash_mha runs full-sequence blocks, whose (block_q, block_k)
+        # scratch grows as N^2: fine at the 224-crop verifier's N=896
+        # (~3.2 MB) but past ~N=1280 it exceeds the 16 MB VMEM scope and
+        # fails to compile (ADVICE r4). Larger ViTs take the einsum path.
+        if impl == "flash" and ((N + 127) // 128) * 128 > 1280:
+            impl = "einsum"
         if impl == "flash":
             out = _flash_mha(qkv, head_dim ** -0.5)
         else:

@@ -240,7 +240,11 @@ class StandardROIHeads(nn.Module):
                 impl_name = "pallas_train" if on_tpu else "exact"
             else:
                 impl_name = "pallas" if on_tpu else "exact"
-        elif train and impl_name.startswith("pallas") and impl_name != "pallas_train":
+        elif (
+            train
+            and impl_name.startswith("pallas")
+            and not impl_name.startswith("pallas_train")
+        ):
             # the inference pallas kernels have no VJP; training uses the
             # custom-VJP variant or the differentiable gather
             impl_name = "pallas_train"
@@ -264,10 +268,18 @@ class StandardROIHeads(nn.Module):
             )
 
             impl = batched_multilevel_roi_align_pallas_fast
-        elif impl_name == "pallas_train":
-            from lvc_tpu.ops.roi_align import (
-                batched_multilevel_roi_align_pallas_trainable,
-            )
+        elif impl_name in ("pallas_train", "pallas_train_flat"):
+            # round 5: stage-free per-level train pool (no-copy forward +
+            # pipelined RMW backward); "pallas_train_flat" keeps the
+            # round-4 flat2d-staged variant for A/B comparison
+            if impl_name == "pallas_train":
+                from lvc_tpu.ops.roi_align import (
+                    batched_multilevel_roi_align_pallas_train_ml as _train_pool,
+                )
+            else:
+                from lvc_tpu.ops.roi_align import (
+                    batched_multilevel_roi_align_pallas_trainable as _train_pool,
+                )
 
             def impl(
                 feats_list, bx, strides_, output_size=7, sampling_ratio=0,
@@ -275,7 +287,7 @@ class StandardROIHeads(nn.Module):
                 canonical_level=4,
             ):
                 # custom_vjp nondiff args must be positional
-                return batched_multilevel_roi_align_pallas_trainable(
+                return _train_pool(
                     tuple(feats_list), bx, strides_, output_size,
                     sampling_ratio, max_grid, min_level, canonical_box_size,
                     canonical_level,

@@ -41,10 +41,10 @@ def main():
         np.random.RandomState(0).rand(args.batch, 224, 224, 3), jnp.float32
     )
     results = {}
+    # model structure is identical for both impls: init once, reuse
+    variables = dino_vits8(attn_impl="einsum").init(jax.random.PRNGKey(0), x)
     for impl in ("einsum", "flash"):
         model = dino_vits8(attn_impl=impl)
-        if impl == "einsum":
-            variables = model.init(jax.random.PRNGKey(0), x)
 
         def fwd(v, x):
             with compute_dtype_scope(args.dtype):

@@ -48,8 +48,10 @@ def parse_args(argv=None):
         help="with --config-file: tolerate missing/unexpected keys "
         "(shape mismatches on matched keys always fail)",
     )
+    # nargs="*" (not REMAINDER) so flags placed after the first positional
+    # override token are still parsed as flags (ADVICE r4)
     ap.add_argument(
-        "opts", nargs=argparse.REMAINDER, default=[],
+        "opts", nargs="*", default=[],
         help="config overrides (KEY VALUE ...) applied after --config-file",
     )
     return ap.parse_args(argv)
@@ -118,6 +120,10 @@ def main(argv=None):
         print("[convert] validation OK against", args.config_file)
 
     host = __import__("jax").tree_util.tree_map(np.asarray, variables)
+    # explicit format marker so the checkpointer branches on it instead of
+    # inferring "variables-only" from an absent opt_state (ADVICE r4)
+    host = dict(host)
+    host["__format__"] = np.frombuffer(b"variables", dtype=np.uint8)
     os.makedirs(os.path.dirname(os.path.abspath(args.dst)), exist_ok=True)
     with open(args.dst, "wb") as f:
         f.write(serialization.msgpack_serialize(host))
