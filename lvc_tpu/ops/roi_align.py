@@ -2423,10 +2423,22 @@ def _tiled_prep_2d_ml(
         jnp.min(srows, axis=1), 0, rows_tot[levels] - PR
     ).astype(jnp.int32)
     rel = (srows - patch0[:, None]).astype(jnp.int32)
+    # actual footprint of the window each box touches (rows incl. the
+    # second pair row; cols incl. the wx1 slot) — the backward sizes its
+    # chunked RMW DMAs from these instead of the full (PR, tile) window.
+    # Zero-weight samples (masked grid positions / outside-image corners)
+    # don't extend the footprint.
+    y_live = (pair0 + pair1).reshape(n, q) > 0
+    x_live = (wx0 + wx1).reshape(n, q) > 0
+    rows_need = jnp.max(jnp.where(y_live, rel, 0), axis=1) + 2
+    cols_need = jnp.minimum(
+        jnp.max(jnp.where(x_live, t_low_f, 0), axis=1) + 2, tile
+    )
 
     return (
         flats, srows, patch0, rel, x_start.astype(jnp.int32), Wx, wy2,
         count, levels.astype(jnp.int32), level_padded, G, dtype,
+        rows_need.astype(jnp.int32), cols_need.astype(jnp.int32),
     )
 
 
@@ -2547,7 +2559,7 @@ def batched_multilevel_roi_align_pallas_paired_ml(
     c_pad = (-C0) % c_mult
     if c_pad:
         features = [jnp.pad(f, ((0, 0),) * 3 + ((0, c_pad),)) for f in features]
-    flats, srows, _, _, x_start, Wx, wy2, count, lvl, _, G, dtype = (
+    flats, srows, _, _, x_start, Wx, wy2, count, lvl, _, G, dtype, _, _ = (
         _tiled_prep_2d_ml(
             features, boxes, strides, output_size, sampling_ratio, max_grid,
             min_level, canonical_box_size, canonical_level, tile, tile,
@@ -2658,37 +2670,78 @@ def _pallas_roi_backward_kernel_ml(P, G, tile, C, PR, group, L, slots=4):
 
     q = P * G
     assert group % slots == 0
+    # chunked RMW windows: the DMA reads/writes only the ceil-16-row x
+    # ceil-24-col region the box actually touches (rows_need/cols_need
+    # from the prep) instead of the full (PR, tile) window — typical
+    # proposals touch ~1/5 of it. Chunks are symmetric read/write pairs,
+    # so scratch content outside the refreshed chunks never reaches HBM.
+    CY, CX = 16, 24
+    assert PR % CY == 0 and tile % CX == 0
+    KY, KX = PR // CY, tile // CX
 
     def kernel(*args):
         (p0_ref, p0n_ref, xs_ref, xsn_ref, lvl_ref, lvln_ref, rel_ref,
-         wy_ref, cnt_ref, cflC, cflM, cflN, wx_ref, gout_ref) = args[:14]
-        dflat_in = args[14 : 14 + L]
-        dflat_out = args[14 + L : 14 + 2 * L]
-        patches, drows, rsem, wsem = args[14 + 2 * L :]
+         wy_ref, cnt_ref, cflC, cflM, cflN, ny_ref, nx_ref, nyn_ref,
+         nxn_ref, nym1_ref, nxm1_ref, nym2_ref, nxm2_ref, wx_ref,
+         gout_ref) = args[:22]
+        dflat_in = args[22 : 22 + L]
+        dflat_out = args[22 + L : 22 + 2 * L]
+        patches, drows, rsem, wsem = args[22 + 2 * L :]
         del dflat_in  # aliased with dflat_out
 
         i = pl.program_id(0)
         nprog = pl.num_programs(0)
 
-        def rd(k, s, b, p0, xs):
+        def chunks(fn, ny, nx, b):
+            """Run fn(ky, kx) under the chunk-needed predicate. The same
+            (ny, nx) values predicate a write's start and every one of its
+            waits, keeping semaphore accounting exact."""
+            for ky in range(KY):
+                for kx in range(KX):
+                    @pl.when((ny[b, 0] > ky * CY) & (nx[b, 0] > kx * CX))
+                    def _():
+                        fn(ky, kx)
+
+        def rd_desc(k, s, b, p0, xs, ky, kx):
             return pltpu.make_async_copy(
-                dflat_out[k].at[pl.ds(p0[b, 0], PR), pl.ds(xs[b, 0], tile)],
-                patches.at[s],
+                dflat_out[k].at[
+                    pl.ds(p0[b, 0] + ky * CY, CY), pl.ds(xs[b, 0] + kx * CX, CX)
+                ],
+                patches.at[s, pl.ds(ky * CY, CY), pl.ds(kx * CX, CX)],
                 rsem.at[s],
             )
 
-        def wr(k, s, b):
+        def wr_desc(k, s, b, ky, kx):
             return pltpu.make_async_copy(
-                patches.at[s],
-                dflat_out[k].at[pl.ds(p0_ref[b, 0], PR), pl.ds(xs_ref[b, 0], tile)],
+                patches.at[s, pl.ds(ky * CY, CY), pl.ds(kx * CX, CX)],
+                dflat_out[k].at[
+                    pl.ds(p0_ref[b, 0] + ky * CY, CY),
+                    pl.ds(xs_ref[b, 0] + kx * CX, CX),
+                ],
                 wsem.at[s],
             )
 
-        def start_read(s, b, p0, xs, lvl):
+        def start_read(s, b, p0, xs, lvl, ny, nx):
             for k in range(L):
                 @pl.when(lvl[b, 0] == k)
                 def _():
-                    rd(k, s, b, p0, xs).start()
+                    chunks(lambda ky, kx: rd_desc(k, s, b, p0, xs, ky, kx).start(),
+                           ny, nx, b)
+
+        def wait_read(s, b, ny, nx):
+            chunks(lambda ky, kx: rd_desc(0, s, b, p0_ref, xs_ref, ky, kx).wait(),
+                   ny, nx, b)
+
+        def start_write(s, b):
+            for k in range(L):
+                @pl.when(lvl_ref[b, 0] == k)
+                def _():
+                    chunks(lambda ky, kx: wr_desc(k, s, b, ky, kx).start(),
+                           ny_ref, nx_ref, b)
+
+        def wait_write(s, b, ny, nx, nb):
+            # nb: block row holding the WRITER box's chunk counts
+            chunks(lambda ky, kx: wr_desc(0, s, b, ky, kx).wait(), ny, nx, nb)
 
         for b in range(group):
             s = b % slots
@@ -2701,23 +2754,23 @@ def _pallas_roi_backward_kernel_ml(P, G, tile, C, PR, group, L, slots=4):
             if b >= 2:
                 @pl.when(cflM[b, 0] == 0)
                 def _():
-                    wr(0, sm2, b).wait()
+                    wait_write(sm2, b, ny_ref, nx_ref, b - 2)
             else:
                 @pl.when((i > 0) & (cflM[b, 0] == 0))
                 def _():
-                    wr(0, sm2, b).wait()
+                    wait_write(sm2, b, nym2_ref, nxm2_ref, b)
 
             # -- pre-issue read(k+1) when certified conflict-free
             if b + 1 < group:
                 @pl.when(cflN[b, 0] == 0)
                 def _():
-                    start_read(sp1, b + 1, p0_ref, xs_ref, lvl_ref)
+                    start_read(sp1, b + 1, p0_ref, xs_ref, lvl_ref, ny_ref, nx_ref)
             else:
                 # k+1 is the first box of the next grid step: its scalars
                 # arrive via the roll(-1) arrays at this block position
                 @pl.when((cflN[b, 0] == 0) & (i + 1 < nprog))
                 def _():
-                    start_read(sp1, b, p0n_ref, xsn_ref, lvln_ref)
+                    start_read(sp1, b, p0n_ref, xsn_ref, lvln_ref, nyn_ref, nxn_ref)
 
             # -- compute drows(k) while DMAs fly:
             #    drows[py, t, c] = inv * sum_px WxB[px, t] * gout[py, px, c]
@@ -2740,20 +2793,20 @@ def _pallas_roi_backward_kernel_ml(P, G, tile, C, PR, group, L, slots=4):
             if b >= 1:
                 @pl.when(cflC[b, 0] == 1)
                 def _():
-                    wr(0, sm1, b).wait()
-                    start_read(s, b, p0_ref, xs_ref, lvl_ref)
+                    wait_write(sm1, b, ny_ref, nx_ref, b - 1)
+                    start_read(s, b, p0_ref, xs_ref, lvl_ref, ny_ref, nx_ref)
             else:
                 # k == 0 (grid step 0) has no write(k-1) to wait on; its
                 # conflict bit is forced to 1 by the prep
                 @pl.when((cflC[b, 0] == 1) & (i > 0))
                 def _():
-                    wr(0, sm1, b).wait()
+                    wait_write(sm1, b, nym1_ref, nxm1_ref, b)
 
                 @pl.when(cflC[b, 0] == 1)
                 def _():
-                    start_read(s, b, p0_ref, xs_ref, lvl_ref)
+                    start_read(s, b, p0_ref, xs_ref, lvl_ref, ny_ref, nx_ref)
 
-            rd(0, s, b, p0_ref, xs_ref).wait()
+            wait_read(s, b, ny_ref, nx_ref)
 
             # -- accumulate the 2-row pairs into the window
             for r in range(q):
@@ -2765,10 +2818,7 @@ def _pallas_roi_backward_kernel_ml(P, G, tile, C, PR, group, L, slots=4):
                 patches[s, pl.ds(o, 2)] = pair + jnp.stack([add0, add1])
 
             # -- issue write(k); waited by box k+1 or k+2
-            for k in range(L):
-                @pl.when(lvl_ref[b, 0] == k)
-                def _():
-                    wr(k, s, b).start()
+            start_write(s, b)
 
         # -- drain the writes whose waiters fall past the grid: write(N-1)
         # always; write(N-2) iff its box-(N-1) waiter didn't fire
@@ -2779,8 +2829,8 @@ def _pallas_roi_backward_kernel_ml(P, G, tile, C, PR, group, L, slots=4):
             b_last = group - 1
             @pl.when(cflC[b_last, 0] == 0)
             def _():
-                wr(0, (b_last - 1) % slots, b_last).wait()
-            wr(0, b_last % slots, b_last).wait()
+                wait_write((b_last - 1) % slots, b_last, ny_ref, nx_ref, b_last - 1)
+            wait_write(b_last % slots, b_last, ny_ref, nx_ref, b_last)
 
     return kernel
 
@@ -2805,7 +2855,8 @@ def _roi_align_ml_bwd_impl(
     if c_pad:
         features = [jnp.pad(f, ((0, 0),) * 3 + ((0, c_pad),)) for f in features]
     PR = tile
-    flats, _, patch0, rel, x_start, Wx, wy2, count, lvl, level_padded, G, dtype = (
+    (flats, _, patch0, rel, x_start, Wx, wy2, count, lvl, level_padded, G,
+     dtype, rows_need, cols_need) = (
         _tiled_prep_2d_ml(
             features, boxes, strides, output_size, sampling_ratio, max_grid,
             min_level, canonical_box_size, canonical_level, tile, PR,
@@ -2852,6 +2903,8 @@ def _roi_align_ml_bwd_impl(
         cnt = jnp.pad(cnt, ((0, pad), (0, 0)), constant_values=1.0)
         WxB = jnp.pad(WxB, ((0, pad), (0, 0), (0, 0)))
         gout_flat = jnp.pad(gout_flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        rows_need = jnp.pad(rows_need, (0, pad), constant_values=2)
+        cols_need = jnp.pad(cols_need, (0, pad), constant_values=2)
 
     # ---- interleaved execution order: sort by (level, window), then
     # stride across 16 streams so adjacent-execution boxes come from far
@@ -2902,6 +2955,14 @@ def _roi_align_ml_bwd_impl(
     p0n = jnp.roll(p0p, -1, axis=0)
     xsn = jnp.roll(xsp, -1, axis=0)
     lvln = jnp.roll(lvlp, -1, axis=0)
+    nyp = rows_need[exec_idx].reshape(n_pad, 1)
+    nxp = cols_need[exec_idx].reshape(n_pad, 1)
+    nyn = jnp.roll(nyp, -1, axis=0)    # chunk counts of box k+1
+    nxn = jnp.roll(nxp, -1, axis=0)
+    nym1 = jnp.roll(nyp, 1, axis=0)    # of box k-1
+    nxm1 = jnp.roll(nxp, 1, axis=0)
+    nym2 = jnp.roll(nyp, 2, axis=0)    # of box k-2
+    nxm2 = jnp.roll(nxp, 2, axis=0)
 
     zeros = [
         jnp.zeros((f.shape[0], f.shape[1], C // 128, 128), jnp.float32)
@@ -2912,13 +2973,15 @@ def _roi_align_ml_bwd_impl(
     smem = lambda w: pl.BlockSpec(
         (group, w), lambda i: (i, 0), memory_space=pltpu.SMEM
     )
-    n_scalar_inputs = 14
+    n_scalar_inputs = 22
     out = pl.pallas_call(
         kernel,
         grid=(n_pad // group,),
         in_specs=[
             smem(1), smem(1), smem(1), smem(1), smem(1), smem(1), smem(q),
             smem(2 * q), smem(1), smem(1), smem(1), smem(1),
+            smem(1), smem(1), smem(1), smem(1), smem(1), smem(1), smem(1),
+            smem(1),
             pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -2940,6 +3003,7 @@ def _roi_align_ml_bwd_impl(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         p0p, p0n, xsp, xsn, lvlp, lvln, relp, wy2p, cntp, cflC, cflM, cflN,
+        nyp, nxp, nyn, nxn, nym1, nxm1, nym2, nxm2,
         WxBp, goutp, *zeros,
     )
 
