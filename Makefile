@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: check check-parity check-slow check-all
+.PHONY: check check-parity check-slow check-all check-tpu
 
 check:
 	$(PY) -m pytest tests/ -q -m "not slow" \
@@ -22,3 +22,13 @@ check-slow:
 
 check-all:
 	$(PY) -m pytest tests/ -q
+
+# On-chip quantification tier (requires the real TPU): validates the two
+# serving deviations (flash attention, APPROX_TOPK) and records the
+# headline bench. Append the three result lines to TESTING.md each round
+# (VERDICT r4 next #4). Run the scripts SOLO — concurrent CPU work on
+# this 1-core host inflates wall times (docs/PERF.md measurement note).
+check-tpu:
+	$(PY) scripts/check_vit_flash.py
+	$(PY) scripts/check_approx_topk.py
+	$(PY) bench.py

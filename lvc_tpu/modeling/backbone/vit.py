@@ -30,10 +30,15 @@ class Mlp(nn.Module):
         return x
 
 
-def _flash_mha(qkv, scale):
+def _flash_mha(qkv, scale, attn_fn=None):
     """Fused attention via the Pallas TPU flash kernel, N padded to a
     multiple of 128 with SegmentIds masking (pad tokens get segment 1 and
     can only attend each other; their output is sliced off).
+
+    ``attn_fn(q, k, v, segment_ids, sm_scale)`` is injectable so the
+    pad/transpose/SegmentIds/slice plumbing is unit-testable on CPU
+    against a reference attention (tests/test_vit_flash_ci.py); the
+    default is the Pallas TPU flash kernel.
 
     Why: at N=785 the einsum form materializes the (B, H, N, N) attention
     tensor several times — ~2.4 ms/block of HBM traffic at batch 64 that
@@ -61,17 +66,23 @@ def _flash_mha(qkv, scale):
     if pad:
         ids = (jnp.arange(Np) >= N).astype(jnp.int32)[None].repeat(B, axis=0)
         seg = SegmentIds(q=ids, kv=ids)
-    # full-sequence blocks: at N~896, d=64 the kernel is overhead-bound
-    # with small blocks (round-4 sweep: 128-blocks 4.9 ms/call, 896-blocks
-    # 3.96 ms/call, and block sizes must be multiples of 128); one program
-    # per (batch, head) keeps the whole row in VMEM (896*64 tiles are tiny)
-    block = Np
-    sizes = BlockSizes(
-        block_q=block, block_k_major=block, block_k=block, block_b=1
-    )
-    out = flash_attention(
-        qp, kp, vp, segment_ids=seg, sm_scale=scale, block_sizes=sizes
-    )
+    if attn_fn is None:
+        # full-sequence blocks: at N~896, d=64 the kernel is overhead-bound
+        # with small blocks (round-4 sweep: 128-blocks 4.9 ms/call,
+        # 896-blocks 3.96 ms/call, and block sizes must be multiples of
+        # 128); one program per (batch, head) keeps the whole row in VMEM
+        block = Np
+        sizes = BlockSizes(
+            block_q=block, block_k_major=block, block_k=block, block_b=1
+        )
+
+        def attn_fn(q, k, v, segment_ids, sm_scale):
+            return flash_attention(
+                q, k, v, segment_ids=segment_ids, sm_scale=sm_scale,
+                block_sizes=sizes,
+            )
+
+    out = attn_fn(qp, kp, vp, seg, scale)
     if pad:
         out = out[:, :, :N]
     return jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, H * d)

@@ -1772,6 +1772,14 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
 
     c2 = C // 128
     PR = patch_rows
+    # NOTE (round 5): footprint-chunked patch reads — the big win on the
+    # TRAIN backward (0.33x bytes) — were tried HERE too and measured
+    # SLOWER on chip both ways: 16x16 chunks 143.5 img/s, 16-row-only
+    # chunks 146.2, vs 148.1 for the single whole-patch DMA. Serving
+    # boxes are post-NMS real objects with near-window footprints, so the
+    # byte savings are small while the extra predicated descriptors hit
+    # the scalar-core issue rate — the very bottleneck the one-DMA patch
+    # form exists to avoid. Do not re-try without changing the trade.
 
     def kernel(*args):
         (pr_ref, pr_nxt, xs_ref, xs_nxt, lvl_ref, lvl_nxt, rel_ref, wy_ref,
