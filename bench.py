@@ -16,7 +16,11 @@ import numpy as np
 # kernel stack improves; established in round 1.
 REFERENCE_IMAGES_PER_SEC = 17.0
 
-BATCH = 32  # serving batch: 32 measured +1.5% over 16 (round 4)
+import os as _os_env
+
+# serving batch: 32 measured +1.5% over 16 (round 4); 48/64 measured
+# neutral-to-negative (round 5) — env override kept for sweeps
+BATCH = int(_os_env.environ.get("LVC_TPU_BENCH_BATCH", "32"))
 HEIGHT, WIDTH = 832, 1344
 WARMUP = 3
 ITERS = 10
@@ -76,8 +80,20 @@ def main():
     def _infer(batch):
         return model.apply(variables, batch, train=False)
 
+    # bounded-experiment hook (VERDICT r4 next #3): TPU compiler options as
+    # "k=v,k=v" — XLA_FLAGS can't carry TPU flags here (the local client's
+    # flag parser rejects them; compilation happens remotely), but the PJRT
+    # compiler_options channel is accepted. Results in docs/PERF.md.
+    import os as _os
+
+    _copts = {}
+    for kv in filter(None, _os.environ.get("LVC_TPU_COMPILER_OPTIONS", "").split(",")):
+        k, _, v = kv.partition("=")
+        _copts[k.strip()] = v.strip()
     try:
-        compiled = jax.jit(_infer).lower(batch).compile()
+        compiled = jax.jit(_infer).lower(batch).compile(
+            compiler_options=_copts or None
+        )
     except Exception:
         # safety net: if the fused residual-epilogue GEMM ever fails to
         # compile on this backend, fall back to the unfused serving path —

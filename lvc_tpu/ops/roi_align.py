@@ -1750,7 +1750,8 @@ def batched_multilevel_roi_align_pallas_patch(
     return out[..., : C - c_pad] if c_pad else out
 
 
-def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
+def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L,
+                                compute="full", dot_impl="fp32"):
     """Multi-ref patch kernel: per-level feature refs, the box's level (an
     SMEM scalar) predicates which ref the single patch DMA reads.
 
@@ -1786,7 +1787,10 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
          cnt_ref, wx_ref) = args[:10]
         flat_refs = args[10 : 10 + L]
         out_ref = args[10 + L]
-        patches, rows_sum, sems = args[11 + L :]
+        rest = args[11 + L :]
+        patches, rows_sum, sems = rest[:3]
+        pf32 = rest[3] if compute == "hoist" else None
+        rs2 = rest[3] if compute in ("fused", "groupdot") else None
 
         i = pl.program_id(0)
         nprog = pl.num_programs(0)
@@ -1806,7 +1810,17 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
                 def _():
                     dma(k, s, b, pr, xs).start()
 
-        if depth > 1:
+        if compute == "nodma":
+            # measurement-only: DMA+wait only on the first grid step; all
+            # later steps compute from stale slot-0 patches -> pure compute
+            # rate (results are garbage)
+            @pl.when(i == 0)
+            def _():
+                for b in range(group):
+                    start(0, b, pr_ref, xs_ref, lvl_ref)
+                for b in range(group):
+                    dma(0, 0, b, pr_ref, xs_ref).wait()
+        elif depth > 1:
             @pl.when(i == 0)
             def _():
                 for b in range(group):
@@ -1820,11 +1834,68 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
             for b in range(group):
                 start(0, b, pr_ref, xs_ref, lvl_ref)
 
+        if compute == "stub":
+            # measurement-only mode (scripts/bench_pool_serving.py): same
+            # DMA traffic, near-zero compute — establishes the kernel's
+            # DMA floor so the full-compute gap is attributable
+            for b in range(group):
+                dma(0, slot, b, pr_ref, xs_ref).wait()
+                for py in range(P):
+                    out_ref[b, py] = (
+                        patches[slot, b, py][:P].reshape(P, C).astype(out_ref.dtype)
+                    )
+            return
+
+        if compute == "groupdot":
+            # band-combine all `group` boxes into a stacked (group*tile,
+            # P*C) scratch, then ONE block-diagonal MXU dot per grid step:
+            # (group*P, group*tile) @ (group*tile, P*C). The zero blocks
+            # contribute exact +0.0 adds, so every output element sees the
+            # same K=32 nonzero accumulation as the per-box dot ->
+            # bit-identical, at ~1/4 the MXU tile-pass count.
+            for b in range(group):
+                dma(0, slot, b, pr_ref, xs_ref).wait()
+                for py in range(P):
+                    off = rel_ref[b, py]
+                    acc = None
+                    for rb in range(4):
+                        row = jnp.minimum(off + rb, PR - 1)
+                        term = patches[slot, b, row].astype(
+                            jnp.float32
+                        ) * wy_ref[b, py * 4 + rb]
+                        acc = term if acc is None else acc + term
+                    for c2 in range(C // 128):
+                        j = (py * (C // 128) + c2) * 128
+                        rs2[b * tile : (b + 1) * tile, j : j + 128] = acc[:, c2]
+            v = jax.lax.dot_general(
+                wx_ref[0],
+                rs2[...],
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            for b in range(group):
+                inv = 1.0 / cnt_ref[b, 0]
+                for py in range(P):
+                    out_ref[b, py] = (
+                        v[b * P : (b + 1) * P, py * C : (py + 1) * C] * inv
+                    ).astype(out_ref.dtype)
+            return
+
         for b in range(group):
             # all refs share the slice shape/dtype, so a descriptor built on
             # ref 0 (the largest level) waits for the right byte count
             # whichever ref the start used
-            dma(0, slot, b, pr_ref, xs_ref).wait()
+            if compute == "nodma":
+                slot = 0
+            else:
+                dma(0, slot, b, pr_ref, xs_ref).wait()
+            if compute == "hoist":
+                # convert the whole patch to f32 ONCE (256 vreg converts),
+                # then pure f32 FMAs in the band combine — vs the default's
+                # per-term convert+mul+add (28 x 3 x 8 vreg ops)
+                pf32[...] = patches[slot, b].astype(jnp.float32)
+            src = pf32 if compute == "hoist" else None
             for py in range(P):
                 off = rel_ref[b, py]
                 acc = None
@@ -1832,12 +1903,50 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
                     # bottom-edge boxes at clamped windows can point band
                     # slots past PR-1; those slots carry zero weight
                     # (capped y_low has frac 0) — clamp the read in-bounds
-                    term = patches[
-                        slot, b, jnp.minimum(off + rb, PR - 1)
-                    ].astype(jnp.float32) * wy_ref[b, py * 4 + rb]
+                    row = jnp.minimum(off + rb, PR - 1)
+                    if src is not None:
+                        term = src[row] * wy_ref[b, py * 4 + rb]
+                    else:
+                        term = patches[slot, b, row].astype(
+                            jnp.float32
+                        ) * wy_ref[b, py * 4 + rb]
                     acc = term if acc is None else acc + term
-                rows_sum[py] = acc
+                if compute == "fused":
+                    # stage py's band-combined rows into the lane-blocked
+                    # (tile, P*C) scratch at static 128-lane offsets — a
+                    # pure slice copy (no (C2,128)->C relayout), enabling
+                    # ONE MXU dot per box below
+                    for c2 in range(C // 128):
+                        j = (py * (C // 128) + c2) * 128
+                        rs2[:, j : j + 128] = acc[:, c2]
+                else:
+                    rows_sum[py] = acc
             inv = 1.0 / cnt_ref[b, 0]
+            if compute == "fused":
+                # one (P, tile) @ (tile, P*C) dot per box replaces the 7
+                # per-py dots: same K=32 contraction (bit-identical per
+                # element) but one issue + one operand pad, amortizing
+                # Mosaic's small-matmul overhead 7x
+                v = jax.lax.dot_general(
+                    wx_ref[b],
+                    rs2[...],
+                    (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                for py in range(P):
+                    out_ref[b, py] = (
+                        v[:, py * C : (py + 1) * C] * inv
+                    ).astype(out_ref.dtype)
+                continue
+            if compute == "nodot":
+                # measurement-only: band combine without the MXU dots —
+                # splits the compute budget between VPU and MXU phases
+                for py in range(P):
+                    out_ref[b, py] = (
+                        rows_sum[py][:P].reshape(P, C) * inv
+                    ).astype(out_ref.dtype)
+                continue
             for py in range(P):
                 # full-C contraction in one dot per (box, output row);
                 # identical sums to the per-128-lane form (the contraction
@@ -1845,14 +1954,48 @@ def _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, patch_rows, L):
                 # one-dot-per-BOX x-major variant was tried (round 4) and
                 # measured NEUTRAL on chip while breaking bit-identity
                 # with the band kernel (different dot blocking rounds
-                # 1 ulp apart) — the kernel is DMA-bound, not dot-bound.
-                v = jax.lax.dot_general(
-                    wx_ref[b],
-                    rows_sum[py].reshape(tile, C),
-                    (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
+                # 1 ulp apart). Round-5 microbench (bench_pool_serving.py):
+                # the kernel is DOT-bound — HIGHEST on f32 inputs is 6-pass
+                # bf16 emulation and the dots alone cost ~12 ms at bs16,
+                # while the VPU band combine hides entirely under the DMA.
+                r = rows_sum[py].reshape(tile, C)
+                if dot_impl == "bf16x3":
+                    # split-precision x-combine (POOLER_DOT bf16x3 serving
+                    # mode): both operands split into exact bf16 hi + lo
+                    # remainders, three 1-pass bf16 MXU dots (the lo*lo
+                    # term ~2^-34 is dropped) -> ~2^-15 relative error vs
+                    # the exact-f32 dot, at half the MXU passes of the
+                    # 6-pass HIGHEST emulation. wx hi/lo come presplit
+                    # from the prep.
+                    r_hi = r.astype(jnp.bfloat16)
+                    r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    dims = (((1,), (0,)), ((), ()))
+                    v = (
+                        jax.lax.dot_general(
+                            wx_ref[b, 0], r_hi, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            wx_ref[b, 0], r_lo, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                        + jax.lax.dot_general(
+                            wx_ref[b, 1], r_hi, dims,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                else:
+                    prec = {
+                        "high": jax.lax.Precision.HIGH,
+                        "dotdef": jax.lax.Precision.DEFAULT,
+                    }.get(compute, jax.lax.Precision.HIGHEST)
+                    v = jax.lax.dot_general(
+                        wx_ref[b],
+                        r,
+                        (((1,), (0,)), ((), ())),
+                        precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
                 out_ref[b, py] = (v * inv).astype(out_ref.dtype)
 
     return kernel
@@ -1870,6 +2013,8 @@ def batched_multilevel_roi_align_pallas_patch_ml(
     canonical_level: int = 4,
     tile: int = 32,
     interpret: bool = False,
+    _compute: str = "full",
+    dot_impl: str = "fp32",
 ) -> jnp.ndarray:
     """Stage-free serving RoIAlign: per-level refs + one patch DMA per box.
 
@@ -1933,10 +2078,16 @@ def batched_multilevel_roi_align_pallas_patch_ml(
     budget = 12 * 1024 * 1024
 
     def scratch_bytes(g, d):
+        extra = PR * tile * C * 4 if _compute == "hoist" else 0
+        if _compute == "fused":
+            extra = tile * P * C * 4
+        elif _compute == "groupdot":
+            extra = g * tile * P * C * 4
         return (
             d * g * PR * tile * C * itemsize
             + P * tile * C * 4
             + g * P * P * C * itemsize
+            + extra
         )
 
     while group > 1 and scratch_bytes(group, depth) > budget:
@@ -1959,10 +2110,39 @@ def batched_multilevel_roi_align_pallas_patch_ml(
     xs_ext = jnp.concatenate([xs, xs[-group:]], axis=0)
     lvl_ext = jnp.concatenate([lvl, lvl[-group:]], axis=0)
 
-    kernel = _pallas_roi_kernel_patch_ml(P, G, tile, C, group, depth, PR, L)
+    kernel = _pallas_roi_kernel_patch_ml(
+        P, G, tile, C, group, depth, PR, L, compute=_compute, dot_impl=dot_impl
+    )
     # 4D refs: Mosaic requires the dynamically sliced dims untiled (see
     # kernel docstring) — XLA materializes a T(2,128) retile per level
     flat_args = [f.reshape(f.shape[0], f.shape[1], C // 128, 128) for f in flats]
+    if _compute == "groupdot":
+        # block-diagonal x-weights for the one-dot-per-group form:
+        # lhs[b*P+px, b*tile+x] = WxB[b, px, x], zeros elsewhere
+        g8 = n_pad // group
+        Wr = WxB.reshape(g8, group, P, tile)
+        eye = jnp.eye(group, dtype=WxB.dtype)
+        wx_arg = (
+            Wr[:, :, :, None, :] * eye[None, :, None, :, None]
+        ).reshape(g8, group * P, group * tile)
+        wx_spec = pl.BlockSpec(
+            (1, group * P, group * tile), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif dot_impl == "bf16x3":
+        # exact bf16 hi/lo split of the x-weights, stacked on a new axis:
+        # wx_ref[b, 0] = hi, wx_ref[b, 1] = lo
+        wx_hi = WxB.astype(jnp.bfloat16)
+        wx_lo = (WxB - wx_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wx_arg = jnp.stack([wx_hi, wx_lo], axis=1)
+        wx_spec = pl.BlockSpec(
+            (group, 2, P, tile), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        wx_arg = WxB
+        wx_spec = pl.BlockSpec(
+            (group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
     smem1 = lambda: pl.BlockSpec((group, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     smem1n = lambda: pl.BlockSpec(
         (group, 1), lambda i: (i + 1, 0), memory_space=pltpu.SMEM
@@ -1975,7 +2155,7 @@ def batched_multilevel_roi_align_pallas_patch_ml(
             pl.BlockSpec((group, P), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((group, P * 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
             smem1(),
-            pl.BlockSpec((group, P, tile), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            wx_spec,
         ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * L,
         out_specs=pl.BlockSpec(
             (group, P, P, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
@@ -1987,12 +2167,21 @@ def batched_multilevel_roi_align_pallas_patch_ml(
             pltpu.VMEM((depth, group, PR, tile, C // 128, 128), dtype),
             pltpu.VMEM((P, tile, C // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((depth, group)),
-        ],
+        ] + (
+            [pltpu.VMEM((PR, tile, C // 128, 128), jnp.float32)]
+            if _compute == "hoist" else []
+        ) + (
+            [pltpu.VMEM((tile, P * C), jnp.float32)]
+            if _compute == "fused" else []
+        ) + (
+            [pltpu.VMEM((group * tile, P * C), jnp.float32)]
+            if _compute == "groupdot" else []
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         pr_ext, pr_ext, xs_ext, xs_ext, lvl_ext, lvl_ext, rel, wy_flat, cnt,
-        WxB, *flat_args,
+        wx_arg, *flat_args,
     )
     out = out[:n].reshape(B, R, P, P, C)
     return out[..., : C - c_pad] if c_pad else out
