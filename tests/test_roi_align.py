@@ -469,6 +469,26 @@ def test_pallas_patch_ml_bit_identical_to_band():
     )
     assert np.abs(np.asarray(band) - np.asarray(ml)).max() == 0.0
     assert np.abs(np.asarray(band) - np.asarray(patch)).max() == 0.0
+    # measurement-only kernel variants (scripts/bench_pool_serving.py):
+    # on chip the fused/groupdot restructures are measured BIT-identical
+    # (0/200M elems differ, docs/PERF.md round-5 serving levers); CPU
+    # interpret mode lowers the dots to XLA CPU GEMMs whose blocking can
+    # round 1 ulp differently, so the CI pin is 1-ulp; bf16x3
+    # (split-precision dots, ~2^-15 rel) gets a matching tolerance
+    for mode in ("fused", "groupdot"):
+        alt = ra.batched_multilevel_roi_align_pallas_patch_ml(
+            feats, boxes, strides, interpret=True, _compute=mode
+        )
+        np.testing.assert_allclose(
+            np.asarray(alt), np.asarray(band), rtol=3e-7, atol=3e-7,
+            err_msg=mode,
+        )
+    b3 = ra.batched_multilevel_roi_align_pallas_patch_ml(
+        feats, boxes, strides, interpret=True, dot_impl="bf16x3"
+    )
+    np.testing.assert_allclose(
+        np.asarray(b3), np.asarray(band), rtol=2e-4, atol=2e-4
+    )
 
 
 def _interp_ml(m):
