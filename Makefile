@@ -24,11 +24,15 @@ check-all:
 	$(PY) -m pytest tests/ -q
 
 # On-chip quantification tier (requires the real TPU): validates the two
-# serving deviations (flash attention, APPROX_TOPK) and records the
-# headline bench. Append the three result lines to TESTING.md each round
-# (VERDICT r4 next #4). Run the scripts SOLO — concurrent CPU work on
-# this 1-core host inflates wall times (docs/PERF.md measurement note).
+# serving deviations (flash attention, APPROX_TOPK), runs the synthetic
+# convergence-to-AP gate (the TEST.EXPECTED_RESULTS equivalent — trains
+# the production trainer from scratch in f32 AND AMP and asserts AP50 on
+# a held-out split), and records the headline bench. Append the result
+# lines to TESTING.md each round (VERDICT r4 next #4, r5 #2). Run the
+# scripts SOLO — concurrent CPU work on this 1-core host inflates wall
+# times (docs/PERF.md measurement note).
 check-tpu:
 	$(PY) scripts/check_vit_flash.py
 	$(PY) scripts/check_approx_topk.py
+	$(PY) scripts/verify_synthetic_ap.py
 	$(PY) bench.py

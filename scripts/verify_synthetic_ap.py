@@ -124,6 +124,8 @@ def make_cfg(amp: bool, iters: int, out_dir: str):
     from lvc_tpu.config import get_cfg
 
     cfg = get_cfg()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg.merge_from_file(os.path.join(repo, "configs", "Base-RCNN-FPN.yaml"))
     cfg.DATASETS.TRAIN = ("synth_shapes_train",)
     cfg.DATASETS.TEST = ("synth_shapes_val",)
     cfg.MODEL.RESNETS.DEPTH = 50
@@ -136,9 +138,17 @@ def make_cfg(amp: bool, iters: int, out_dir: str):
     cfg.PAD.MAX_GT_PER_IMAGE = 8
     cfg.DATALOADER.NUM_WORKERS = 2
     cfg.SOLVER.IMS_PER_BATCH = 8
-    cfg.SOLVER.BASE_LR = 0.02
-    cfg.SOLVER.WARMUP_ITERS = 100  # reference warmup protocol (PERF.md:
-    cfg.SOLVER.WARMUP_FACTOR = 1e-3  # cold starts diverge in ANY precision)
+    # conditioned-regime from-scratch protocol: damped init (the regime
+    # PERF.md's AMP experiments validated), warmup, gradient clipping.
+    # Raw he-init at the reference LR diverges in ANY precision
+    # (docs/PERF.md "bf16 training status") - the reference never trains
+    # cold either, it starts from ImageNet weights.
+    cfg.SOLVER.BASE_LR = 0.01
+    cfg.SOLVER.WARMUP_ITERS = 100
+    cfg.SOLVER.WARMUP_FACTOR = 1e-3
+    cfg.SOLVER.CLIP_GRADIENTS.ENABLED = True
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_TYPE = "norm"
+    cfg.SOLVER.CLIP_GRADIENTS.CLIP_VALUE = 1.0
     cfg.SOLVER.MAX_ITER = iters
     cfg.SOLVER.STEPS = (int(iters * 0.7), int(iters * 0.9))
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
@@ -156,8 +166,21 @@ def run_mode(mode: str, iters: int, data_root: str):
     from lvc_tpu.engine.defaults import DefaultTrainer
     from lvc_tpu.evaluation.testing import verify_results
 
+    class GateTrainer(DefaultTrainer):
+        """DefaultTrainer in the conditioned-weights regime: damped
+        N(0, 0.01) init with 0.65x conv damping — the activation scale of
+        real pretrained checkpoints (same protocol as the driver dryrun,
+        __graft_entry__.fast_init)."""
+
+        def _materialize(self, shapes, seed):
+            import jax.tree_util as jtu
+            from lvc_tpu.utils.init import materialize_variables
+
+            v = materialize_variables(shapes, seed, conv_init="damped")
+            return jtu.tree_map(lambda a: a * 0.65 if a.ndim == 4 else a, v)
+
     cfg = make_cfg(mode == "amp", iters, os.path.join(data_root, f"out_{mode}"))
-    trainer = DefaultTrainer(cfg)
+    trainer = GateTrainer(cfg)
     t0 = time.time()
     trainer.train()
     t_train = time.time() - t0
