@@ -35,15 +35,39 @@ CLASSES = ["disc", "slab"]  # red-dominant ellipses vs blue-dominant boxes
 
 
 def _draw_example(rng, size=256):
-    """One image: dark noise background + 1-4 bright shapes."""
+    """One image: dark noise background + 1-4 bright shapes.
+
+    Shapes are rejection-sampled to keep mutual occlusion low: later
+    shapes are drawn ON TOP of earlier ones while the GT keeps the full
+    box of the occluded shape, so unconstrained placement caps the
+    achievable AP50 around ~54 (measured, round 5) no matter how long
+    the trainer runs — the gate would then measure the generator, not
+    the learner. With intersection <= 25% of either box the detector's
+    ceiling is near-perfect and the assertion bar can be strong.
+    """
     arr = (rng.rand(size, size, 3) * 60).astype(np.uint8)
     img = Image.fromarray(arr)
     draw = ImageDraw.Draw(img)
     anns = []
+    placed = []
     for _ in range(rng.randint(1, 5)):
-        w, h = rng.randint(40, 110, 2)
-        x0 = rng.randint(0, size - w)
-        y0 = rng.randint(0, size - h)
+        for _attempt in range(25):
+            w, h = rng.randint(40, 110, 2)
+            x0 = rng.randint(0, size - w)
+            y0 = rng.randint(0, size - h)
+            ok = True
+            for (px, py, pw, ph) in placed:
+                ix = max(0, min(x0 + w, px + pw) - max(x0, px))
+                iy = max(0, min(y0 + h, py + ph) - max(y0, py))
+                inter = ix * iy
+                if inter > 0.25 * min(w * h, pw * ph):
+                    ok = False
+                    break
+            if ok:
+                break
+        else:
+            continue  # no low-overlap spot found; draw fewer shapes
+        placed.append((x0, y0, w, h))
         cls = rng.randint(2)
         if cls == 0:
             color = (int(rng.randint(170, 256)), int(rng.randint(0, 90)),
@@ -129,6 +153,14 @@ def make_cfg(amp: bool, iters: int, out_dir: str):
     cfg.DATASETS.TRAIN = ("synth_shapes_train",)
     cfg.DATASETS.TEST = ("synth_shapes_val",)
     cfg.MODEL.RESNETS.DEPTH = 50
+    # FrozenBN (the reference default) assumes ImageNet stats; training
+    # FROM SCRATCH under frozen unit-stats normalization plateaus at
+    # AP50 ~54 regardless of iters or dataset occlusion (measured, round
+    # 5). GroupNorm is the standard from-scratch detection norm
+    # ("Rethinking ImageNet Pre-training": R50-FPN+GN trains from random
+    # init) and is stateless, so the jit'd train step needs no mutable
+    # batch_stats plumbing.
+    cfg.MODEL.RESNETS.NORM = "GN"
     cfg.MODEL.ROI_HEADS.NUM_CLASSES = 2
     cfg.INPUT.MIN_SIZE_TRAIN = (256,)
     cfg.INPUT.MAX_SIZE_TRAIN = 256
